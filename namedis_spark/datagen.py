@@ -1,0 +1,211 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Generates the ``transcripts`` table (conv_id, turn_idx, role, text, tool, ts)
+plus the ``labels`` ground truth (block_key, conv_id, entity_id).
+
+Distribution-friendly by construction: generation fans out over *block ids*
+with ``mapInPandas``; each block is produced by its own ``RandomState(seed ^
+block_id)``, so output is byte-deterministic regardless of partitioning or
+parallelism level — the property the determinism invariant (FIXTURES.md §5.2)
+and the two-parallelism scaling bench both rely on.
+
+Shape mirrors the reference truth sets (2-50 entities per ambiguous key,
+43-853 records per key; one hot 'wei wang'-like block to exercise skew
+salting — current-truth-all/wei wang-labels.txt has 279 clusters/853 pubs).
+
+Convention: the role of ``turn_idx == 0`` is the conversation's *focus
+speaker* (≙ the ambiguous author name under disambiguation); its normalized
+form is the blocking key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("block_key", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("entity_id", T.StringType(), False),
+    ]
+)
+
+# Pinyin-flavored syllable pools for synthetic person names (the reference's
+# ambiguity lives in Chinese names — pinyin.txt; we only need the *shape*).
+_SURNAMES = [
+    "wang", "li", "zhang", "liu", "chen", "yang", "huang", "zhao", "wu",
+    "zhou", "xu", "sun", "ma", "zhu", "hu", "guo", "he", "lin", "gao", "luo",
+]
+_GIVENS = [
+    "wei", "min", "jun", "ying", "jing", "lei", "qiang", "yan", "tao",
+    "ming", "hua", "ping", "gang", "bo", "hui", "feng", "lin", "yu", "chao",
+    "xin", "mei", "fang", "kai", "long", "peng",
+]
+_WESTERN = [
+    "john smith", "maria garcia", "david miller", "anna schmidt",
+    "james wilson", "sofia rossi", "peter novak", "emma dubois",
+    "lucas brown", "sara cohen", "tom baker", "nina petrov",
+]
+_TOOLS = [f"tool_{i:02d}" for i in range(30)]
+
+# Topic vocabulary: per-entity pools draw from this; plus shared background.
+_TOPIC_VOCAB = [f"term{i:04d}" for i in range(2000)]
+_BACKGROUND = [
+    "please", "help", "need", "question", "thanks", "check", "result",
+    "run", "look", "issue", "data", "file", "code", "error", "output",
+]
+
+_EPOCH_2018 = pd.Timestamp("2018-01-01").value // 10**9  # seconds
+
+
+def _alpha(n: int) -> str:
+    """Base-26 alphabetic encoding — survives the letters-only normalizer."""
+    s = ""
+    n = int(n)
+    while True:
+        s = chr(97 + n % 26) + s
+        n //= 26
+        if n == 0:
+            return s
+
+
+def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Generate one block's transcripts + labels deterministically."""
+    rng = np.random.RandomState((seed * 1_000_003 + block_id * 7919) % (2**31 - 1))
+
+    # Ambiguous focus name for this block; surface variants exercise the
+    # normalizer (reversed order ≙ isNameReverse, stray punctuation/case).
+    given = _GIVENS[block_id % len(_GIVENS)]
+    surname = _SURNAMES[(block_id * 7) % len(_SURNAMES)]
+    focus_canonical = f"{given} {surname}"
+    variants = [
+        focus_canonical,
+        f"{surname} {given}",           # reversed name order
+        focus_canonical.title(),        # capitalization
+        f"{given}-{surname}",           # punctuation
+    ]
+    block_key = " ".join(sorted(focus_canonical.split()))
+
+    if hot:
+        n_entities = int(rng.randint(100, 140))
+        convs_per_entity = (4, 12)
+    else:
+        n_entities = int(rng.randint(2, 31))
+        convs_per_entity = (2, 9)
+
+    # Collaborator name space: mostly per-entity-unique, small shared pool
+    # creating the cross-entity shared-coauthor noise the evidence-error
+    # machinery exists for.
+    shared_pool = [
+        f"{_GIVENS[int(rng.randint(len(_GIVENS)))]} {_SURNAMES[int(rng.randint(len(_SURNAMES)))]}"
+        for _ in range(max(3, n_entities // 4))
+    ]
+
+    t_rows: list[tuple] = []
+    l_rows: list[tuple] = []
+    for e in range(n_entities):
+        entity_id = f"b{block_id:05d}e{e:04d}"
+        n_collab = int(rng.randint(5, 12))
+        # unique alphabetic suffix per collaborator: normalization keeps it
+        collabs = [
+            f"{_WESTERN[int(rng.randint(len(_WESTERN)))]} "
+            f"{_alpha(block_id)}q{_alpha(e)}z{_alpha(k)}"
+            for k in range(n_collab)
+        ]
+        if rng.rand() < 0.3:
+            collabs.append(shared_pool[int(rng.randint(len(shared_pool)))])
+        topic = [ _TOPIC_VOCAB[i] for i in rng.choice(len(_TOPIC_VOCAB), size=int(rng.randint(10, 21)), replace=False) ]
+        tools = [_TOOLS[i] for i in rng.choice(len(_TOOLS), size=int(rng.randint(1, 4)), replace=False)]
+        t0 = _EPOCH_2018 + int(rng.randint(0, 6 * 365)) * 86400
+        span = int(rng.randint(180, 4 * 365)) * 86400
+
+        n_convs = int(rng.randint(*convs_per_entity))
+        for c in range(n_convs):
+            conv_id = f"b{block_id:05d}-{e:04d}-{c:04d}"
+            l_rows.append((block_key, conv_id, entity_id))
+            n_turns = int(rng.randint(3, 16))
+            conv_ts = t0 + int(rng.randint(0, max(1, span)))
+            # participants of this conversation: 2-4 of the entity's
+            # collaborators (sampled without replacement)
+            k = min(len(collabs), int(rng.randint(2, 5)))
+            participants = [collabs[i] for i in rng.choice(len(collabs), size=k, replace=False)]
+            focus_surface = variants[int(rng.randint(len(variants)))]
+            for t in range(n_turns):
+                if t == 0:
+                    role = focus_surface
+                else:
+                    role = participants[int(rng.randint(len(participants)))]
+                n_words = int(rng.randint(5, 13))
+                words = [
+                    topic[int(rng.randint(len(topic)))] if rng.rand() < 0.6
+                    else _BACKGROUND[int(rng.randint(len(_BACKGROUND)))]
+                    for _ in range(n_words)
+                ]
+                text = " ".join(words)
+                tool = tools[int(rng.randint(len(tools)))] if rng.rand() < 0.5 else None
+                ts = pd.Timestamp(conv_ts + t * 60, unit="s")
+                t_rows.append((conv_id, t, role, text, tool, ts))
+
+    tdf = pd.DataFrame(t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    tdf["turn_idx"] = tdf["turn_idx"].astype("int32")
+    ldf = pd.DataFrame(l_rows, columns=["block_key", "conv_id", "entity_id"])
+    return tdf, ldf
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    n_blocks: int = 20,
+    seed: int = 42,
+    hot_blocks: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed deterministic generation: one task per block id.
+
+    Returns (transcripts, labels) DataFrames. ``hot_blocks`` leading blocks
+    are 'wei wang'-sized (100+ entities, 800+ conversations) to exercise
+    skew handling.
+    """
+    blocks = spark.range(n_blocks).withColumnRenamed("id", "block_id")
+
+    def gen_t(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for b in pdf["block_id"].tolist():
+                yield _block_frames(seed, int(b), b < hot_blocks)[0]
+
+    def gen_l(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for b in pdf["block_id"].tolist():
+                yield _block_frames(seed, int(b), b < hot_blocks)[1]
+
+    # repartition so each task generates a handful of blocks (parallel, and
+    # identical output no matter the parallelism level)
+    nparts = max(1, min(n_blocks, spark.sparkContext.defaultParallelism))
+    blocks = blocks.repartition(nparts, "block_id")
+    transcripts = blocks.mapInPandas(gen_t, schema=TRANSCRIPT_SCHEMA)
+    labels = blocks.mapInPandas(gen_l, schema=LABEL_SCHEMA)
+    return transcripts, labels
+
+
+def generate_local(n_blocks: int = 4, seed: int = 42, hot_blocks: int = 0) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Driver-side pandas variant for unit tests (same per-block output)."""
+    ts, ls = [], []
+    for b in range(n_blocks):
+        t, l = _block_frames(seed, b, b < hot_blocks)
+        ts.append(t)
+        ls.append(l)
+    return pd.concat(ts, ignore_index=True), pd.concat(ls, ignore_index=True)

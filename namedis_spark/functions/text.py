@@ -1,0 +1,114 @@
+"""Deterministic text primitives — tokenizer, lemma rules, name normalizer.
+
+Every rule here is deliberately expressible in both Spark SQL and DuckDB SQL
+so the driver's oracle can replay it exactly. The lemmatizer replaces the
+reference's external ``morpha`` subprocess (NLPUtil.pm:404, 2052-2177) with
+pure suffix rules; the name normalizer replaces the pinyin-vote Chinese-name
+standardizer (NLPUtil.pm:1680-1876) with an order-invariant canonical key
+(sorting the two name parts subsumes the reversed-name detection the
+reference votes on — deterministic and parallel-safe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# Compact English stopword list (reference: NLPUtil.pm:250-287 academic
+# stopwords + common function words). Kept small so the SQL oracle can
+# inline it; single source of truth for Python, Spark and DuckDB.
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "has", "have", "in", "is", "it", "its", "of", "on", "or", "that", "the",
+    "this", "to", "was", "were", "will", "with", "we", "our", "using",
+    "based", "via", "towards", "toward", "new", "approach", "method",
+    "study", "analysis", "system", "model",
+)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_NON_ALPHA_RE = re.compile(r"[^a-z ]+")
+_WS_RE = re.compile(r"\s+")
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Lowercase alphanumeric tokens. SQL: regexp over lower(text)."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def tokenize_content(text: str | None) -> list[str]:
+    """Tokens minus stopwords (NLPUtil.pm:2003-2007 removeStopWords)."""
+    sw = set(STOPWORDS)
+    return [t for t in tokenize(text) if t not in sw]
+
+
+def lemma(word: str) -> str:
+    """Deterministic suffix lemmatizer (stand-in for morpha; suffix classes
+    mirror the reference's ING/ED/NONE enum, NLPUtil.pm:2052-2177).
+
+    SQL-expressible as a CASE chain:
+      *ies->y (len>4); *ing-> stem (len>5); *ed->stem (len>4);
+      *s (not *ss) -> strip (len>3).
+    """
+    if len(word) > 4 and word.endswith("ies"):
+        return word[:-3] + "y"
+    if len(word) > 5 and word.endswith("ing"):
+        return word[:-3]
+    if len(word) > 4 and word.endswith("ed"):
+        return word[:-2]
+    if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
+        return word[:-1]
+    return word
+
+
+def normalize_name_key(name: str | None) -> str:
+    """Normalized speaker key = blocking key.
+
+    lower → strip non-letters → collapse whitespace → sort the name parts.
+    Sorting makes 'wei wang' and 'wang wei' collide, subsuming
+    ``testChnNameReverse`` (NLPUtil.pm:1750-1851) deterministically.
+    SQL-expressible (two-part names via least/greatest; we keep parts
+    sorted generally).
+    """
+    if not name:
+        return ""
+    s = _NON_ALPHA_RE.sub(" ", name.lower())
+    parts = [p for p in _WS_RE.split(s) if p]
+    return " ".join(sorted(parts))
+
+
+def fingerprint(text: str | None) -> str:
+    """Document fingerprint: md5 of the lowercased, alnum-only text.
+    Portable across Spark (F.md5) and DuckDB (md5)."""
+    norm = "".join(tokenize(text))
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
+def char_ngrams(text: str | None, n: int = 3) -> list[str]:
+    """Character n-gram shingles over the normalized text (dedup features)."""
+    norm = " ".join(tokenize(text))
+    if len(norm) < n:
+        return [norm] if norm else []
+    return [norm[i : i + n] for i in range(len(norm) - n + 1)]
+
+
+def quality_features(text: str | None) -> dict[str, float]:
+    """Heuristic quality scoring (length / punct / stopword ratios) for the
+    training-data-pipeline ops. Mirrors the reference's language/validity
+    filters in spirit (clean.pl:317-336,445-541)."""
+    if not text:
+        return {"n_chars": 0.0, "n_tokens": 0.0, "stopword_ratio": 0.0,
+                "alpha_ratio": 0.0, "mean_token_len": 0.0}
+    toks = tokenize(text)
+    n_tok = len(toks)
+    sw = set(STOPWORDS)
+    n_sw = sum(1 for t in toks if t in sw)
+    n_alpha = sum(1 for c in text if c.isalpha())
+    return {
+        "n_chars": float(len(text)),
+        "n_tokens": float(n_tok),
+        "stopword_ratio": n_sw / n_tok if n_tok else 0.0,
+        "alpha_ratio": n_alpha / len(text),
+        "mean_token_len": sum(len(t) for t in toks) / n_tok if n_tok else 0.0,
+    }

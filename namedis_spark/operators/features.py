@@ -1,0 +1,112 @@
+"""Per-conversation feature extraction (SURVEY.md §7 M1).
+
+transcripts (conv_id, turn_idx, role, text, tool, ts) → one feature row per
+conversation:
+
+  conv_id, block_key, focus_name, coauthors:array<string>,
+  venue:string, term_freq:map<string,int>, year_from:int, year_to:int,
+  n_turns:int
+
+Mapping to the reference (SURVEY.md §1.4): the role of ``turn_idx == 0`` is
+the focus speaker (≙ ambiguous author name; its normalized form is the
+blocking key); other distinct normalized roles are the coauthor set
+(`NLPUtil.pm:4182`); the dominant tool is the venue (UNKNOWN slot per
+`NLPUtil.pm:3196-3204`); the concatenated turn texts under stable turn_idx
+ordering are the title; min/max ts years drive the year-range discount
+(`ConceptNet.pm:5442-5473`).
+
+Everything here is JVM-side (whole-stage-codegen'able builtin functions) —
+no Python in this path. The text rules are the SQL twins of
+functions/text.py via functions/sqlexpr.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from namedis_spark.functions.sqlexpr import content_terms_expr, norm_name_expr
+
+
+def conversation_features(transcripts: DataFrame) -> DataFrame:
+    t = transcripts
+
+    norm_role = F.expr(norm_name_expr("role", "spark"))
+
+    # One shuffle on conv_id produces focus role, participant set, ordered
+    # text, ts range and turn count together. min_by gives the turn_idx==0
+    # role (stable turn ordering).
+    per_conv = (
+        t.withColumn("norm_role", norm_role)
+        .groupBy("conv_id")
+        .agg(
+            F.min_by("norm_role", "turn_idx").alias("focus_name"),
+            F.collect_set("norm_role").alias("all_roles"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("full_text"),
+            F.year(F.min("ts")).alias("year_from"),
+            F.year(F.max("ts")).alias("year_to"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+
+    # venue = dominant tool (mode, ties broken lexicographically ascending;
+    # nulls → 'UNKNOWN'). min_by over struct(-count, tool) gives a
+    # deterministic mode; both aggregates are map-side combinable, which is
+    # what matters at 10^12 turns.
+    dominant_tool = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .count()
+        .withColumn("neg", -F.col("count"))
+        .groupBy("conv_id")
+        .agg(F.min_by("tool", F.struct(F.col("neg"), F.col("tool"))).alias("venue"))
+    )
+
+    feats = (
+        per_conv.join(dominant_tool, "conv_id", "left")
+        .withColumn("venue", F.coalesce(F.col("venue"), F.lit("UNKNOWN")))
+        .withColumn("block_key", F.col("focus_name"))
+        .withColumn(
+            "coauthors",
+            F.array_sort(F.array_remove(F.col("all_roles"), F.col("focus_name"))),
+        )
+        .drop("all_roles")
+    )
+
+    # term_freq: content tokens (stopword-filtered, lemmatized) of the
+    # ordered full text → frequency map. Single-pass, JVM-side, no extra
+    # shuffle: distinct terms + per-term counts within the row.
+    terms_sql = content_terms_expr("full_text", "spark")
+    feats = feats.withColumn(
+        "term_freq",
+        F.expr(
+            f"""map_from_arrays(
+                    array_sort(array_distinct({terms_sql})),
+                    transform(array_sort(array_distinct({terms_sql})),
+                              t -> cast(size(filter({terms_sql}, x -> x = t)) as int))
+                )"""
+        ),
+    ).drop("full_text")
+
+    return feats.select(
+        "conv_id", "block_key", "focus_name", "coauthors", "venue",
+        "term_freq", "year_from", "year_to", "n_turns",
+    )
+
+
+def exploded_terms(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, term, freq) long table — the explode-normalized twin of the
+    term_freq map, used by corpus-level weighting jobs (TF-IAF) where a long
+    table shuffles better than per-row maps."""
+    terms = F.expr(content_terms_expr("text", "spark"))
+    return (
+        transcripts.select("conv_id", F.explode(terms).alias("term"))
+        .groupBy("conv_id", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )

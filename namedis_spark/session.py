@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the transcript-linkage workload.
+
+Local-mode defaults stand in for a multi-executor cluster; the knobs we
+set here (AQE, skew-join handling, Arrow batching, shuffle partitions)
+are exactly the ones that matter at 100 TB / 1000 executors. The caller
+can override any of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale-out behavior, not just local speed:
+#  - AQE on: runtime coalescing + skew-join splitting (hot blocking keys).
+#  - Arrow on: every Python-side op is an Arrow-batched pandas UDF; no
+#    per-row Python anywhere (BASELINE.json input_hint).
+#  - maxRecordsPerBatch bounds pandas UDF memory per Arrow batch.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "namedis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32).
+    shuffle_partitions defaults to the core count — right-sized for
+    local mode; on a real cluster set it to ~2-3x total cores.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] or local[*]
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if inner == "*" else int(inner)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,103 @@
+"""Feature-extraction tests: per-turn text equality invariant, determinism
+across parallelism, blocking-key collapse, and a pandas oracle for the
+per-conversation signature vectors (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from namedis_spark.datagen import generate_local, generate_transcripts
+from namedis_spark.functions.text import lemma, normalize_name_key, tokenize_content
+
+
+@pytest.fixture(scope="module")
+def data(spark, tmp_path_factory):
+    t, l = generate_transcripts(spark, n_blocks=3, seed=42, hot_blocks=0)
+    path = str(tmp_path_factory.mktemp("warehouse") / "transcripts")
+    t.write.mode("overwrite").parquet(path)
+    t2 = spark.read.parquet(path)
+    return t2, l, path
+
+
+@pytest.fixture(scope="module")
+def feats(spark, data):
+    from namedis_spark.operators.features import conversation_features
+
+    t, _, _ = data
+    f = conversation_features(t).cache()
+    f.count()
+    return f
+
+
+def test_per_turn_text_equality_roundtrip(spark, data):
+    """Invariant 1: every (conv_id, turn_idx) text survives write/read
+    byte-for-byte under stable turn ordering."""
+    t, _, path = data
+    src = generate_local(n_blocks=3, seed=42, hot_blocks=0)[0]
+    got = (
+        t.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    exp = (
+        src.sort_values(["conv_id", "turn_idx"])[["conv_id", "turn_idx", "text"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_determinism_across_parallelism(spark):
+    """Invariant 2: generation is independent of partitioning/parallelism —
+    distributed output equals the driver-side single-threaded output."""
+    t, _ = generate_transcripts(spark, n_blocks=2, seed=7, hot_blocks=0)
+    got = t.orderBy("conv_id", "turn_idx").toPandas()
+    exp = (
+        generate_local(n_blocks=2, seed=7, hot_blocks=0)[0]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got["ts"] = pd.to_datetime(got["ts"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_blocking_key_collapses_variants(feats, data):
+    """All focus-name surface variants (reversed order, case, punctuation)
+    in one block map to one blocking key, equal to the labels' block_key."""
+    _, labels, _ = data
+    f = feats.select("conv_id", "block_key").toPandas()
+    l = labels.toPandas()
+    merged = f.merge(l, on="conv_id")
+    assert (merged["block_key_x"] == merged["block_key_y"]).all()
+    # each block has exactly one key
+    assert merged.groupby(merged["conv_id"].str[:6])["block_key_x"].nunique().eq(1).all()
+
+
+def test_feature_vectors_match_pandas_oracle(feats):
+    """coauthors / venue / term_freq / years equal a pure-pandas oracle."""
+    src, _ = generate_local(n_blocks=3, seed=42, hot_blocks=0)
+    got = feats.toPandas().set_index("conv_id")
+    sample_ids = sorted(src["conv_id"].unique())[::17]
+    for cid in sample_ids:
+        conv = src[src["conv_id"] == cid].sort_values("turn_idx")
+        focus = normalize_name_key(conv.iloc[0]["role"])
+        roles = {normalize_name_key(r) for r in conv["role"]}
+        coauthors = sorted(roles - {focus})
+        tools = conv["tool"].dropna()
+        if len(tools):
+            cnt = Counter(tools)
+            venue = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        else:
+            venue = "UNKNOWN"
+        full_text = " ".join(conv["text"])
+        tf = Counter(lemma(t) for t in tokenize_content(full_text))
+        row = got.loc[cid]
+        assert row["focus_name"] == focus, cid
+        assert list(row["coauthors"]) == coauthors, cid
+        assert row["venue"] == venue, cid
+        assert dict(row["term_freq"]) == dict(tf), cid
+        assert row["year_from"] == conv["ts"].min().year
+        assert row["year_to"] == conv["ts"].max().year
+        assert row["n_turns"] == len(conv)
