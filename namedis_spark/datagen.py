@@ -64,6 +64,12 @@ _WESTERN = [
 ]
 _TOOLS = [f"tool_{i:02d}" for i in range(30)]
 
+# Globally famous collaborators: appear across many entities/blocks, so
+# their corpus-wide coauthor counts are large — exactly the weak-evidence
+# shape the coauthor-evidence-error machinery exists to discount
+# (NLPUtil.pm:4096-4137: high cnCoauthorCount ⇒ high error ⇒ no merge).
+_FAMOUS = [f"famous star {chr(97 + i)}{chr(97 + i)}" for i in range(8)]
+
 # Topic vocabulary: per-entity pools draw from this; plus shared background.
 _TOPIC_VOCAB = [f"term{i:04d}" for i in range(2000)]
 _BACKGROUND = [
@@ -109,14 +115,6 @@ def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd
         n_entities = int(rng.randint(2, 31))
         convs_per_entity = (2, 9)
 
-    # Collaborator name space: mostly per-entity-unique, small shared pool
-    # creating the cross-entity shared-coauthor noise the evidence-error
-    # machinery exists for.
-    shared_pool = [
-        f"{_GIVENS[int(rng.randint(len(_GIVENS)))]} {_SURNAMES[int(rng.randint(len(_SURNAMES)))]}"
-        for _ in range(max(3, n_entities // 4))
-    ]
-
     t_rows: list[tuple] = []
     l_rows: list[tuple] = []
     for e in range(n_entities):
@@ -128,8 +126,10 @@ def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd
             f"{_alpha(block_id)}q{_alpha(e)}z{_alpha(k)}"
             for k in range(n_collab)
         ]
-        if rng.rand() < 0.3:
-            collabs.append(shared_pool[int(rng.randint(len(shared_pool)))])
+        # cross-entity noise: a famous collaborator shared with many other
+        # entities across blocks
+        if rng.rand() < 0.45:
+            collabs.append(_FAMOUS[int(rng.randint(len(_FAMOUS)))])
         topic = [ _TOPIC_VOCAB[i] for i in rng.choice(len(_TOPIC_VOCAB), size=int(rng.randint(10, 21)), replace=False) ]
         tools = [_TOOLS[i] for i in rng.choice(len(_TOOLS), size=int(rng.randint(1, 4)), replace=False)]
         t0 = _EPOCH_2018 + int(rng.randint(0, 6 * 365)) * 86400

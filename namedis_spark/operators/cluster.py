@@ -1,0 +1,125 @@
+"""Iterative transitive-closure clustering (SURVEY.md §7 M4).
+
+Replaces the reference's sequential agglomerative loop (`agglomerative`,
+NLPUtil.pm:3760-3883) with the north rule's prescription: edges above
+threshold → alternating **large-star / small-star** connected components
+(Kiveris et al., "Connected Components in MapReduce and Beyond") — each
+round two shuffles on the node key, O(log n) rounds, order-independent and
+therefore deterministic under any parallelism.
+
+Each round is checkpointed through CheckpointStore (parquet snapshot with
+``_SUCCESS`` commit marker + per-partition lineage/metrics rows); resume
+re-enters at the last complete round (FIXTURES.md §5.4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from namedis_spark.sources.checkpoint import CheckpointStore
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(neighbors ∪ {u}); emit (v, m) for every
+    strict neighbor v > u."""
+    nbrs = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    m = m.select("u", F.least("mv", "u").alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; for each node u with
+    smaller neighbors N: m = min(N ∪ {u}); emit (v, m) for v ∈ N ∪ {u},
+    v ≠ m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    pairs = (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionAll(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+    )
+    return pairs.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    store: CheckpointStore | None = None,
+    name: str = "cc",
+    max_rounds: int = 50,
+    resume: bool = False,
+) -> DataFrame:
+    """edges(src, dst) → assignment (node, cluster_id) where cluster_id is
+    the component's minimum node id.
+
+    With ``store``, every round's edge state is a committed snapshot;
+    ``resume=True`` re-enters at the last complete round and — because each
+    round is a pure function of the previous snapshot — yields byte-identical
+    final assignments after any kill point.
+    """
+    e = edges.select(
+        F.col("src").cast("string"), F.col("dst").cast("string")
+    ).where(F.col("src") != F.col("dst")).distinct()
+
+    start_round = 0
+    if store is not None and resume:
+        latest = store.latest_round(name)
+        if latest is not None:
+            e = store.read_round(name, latest)
+            start_round = latest + 1
+
+    for k in range(start_round, max_rounds):
+        new_e = _small_star(_large_star(e))
+        if store is not None:
+            new_e = store.write_round(
+                name, k, new_e, lineage={"op": "large_star+small_star", "prev_round": k - 1}
+            )
+        else:
+            new_e = new_e.localCheckpoint(eager=True)
+        # converged when the edge set is unchanged
+        changed = new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        e = new_e
+        if changed == 0:
+            break
+
+    # star graph: every src points at its component min (dst)
+    return e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+
+
+def assignments_from_edges(
+    spark: SparkSession,
+    features: DataFrame,
+    edges: DataFrame,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Full assignment table: every conversation gets a cluster_id; nodes
+    untouched by any edge are singleton clusters (clust.pl:920-923
+    singleton init)."""
+    cc = connected_components(
+        spark,
+        edges.select(F.col("conv_id1").alias("src"), F.col("conv_id2").alias("dst")),
+        store=store,
+        resume=resume,
+    )
+    return (
+        features.select("block_key", F.col("conv_id").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            "block_key",
+            F.col("node").alias("conv_id"),
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,357 @@
+"""Corpus-level side-table jobs (SURVEY.md §2.3/2.4, EP2 pipeline).
+
+These produce the broadcast inputs of the scoring stage:
+
+* ``term_weights``   — TF-IAF term weighting (exterm.pl:517-733)
+* ``key_ambiguity``  — name-ambiguity fixed point (cnambig.pl:452-782)
+* ``tool_simi``      — venue-similarity regression (venuesimi.pl:157-229)
+* ``term_ic``        — taxonomy term information content (ConceptNet.pm:4931-4970)
+
+All pure DataFrame aggregation / joins — map-side combinable groupBys, no
+Python rows. At 100 TB these are the one-time EP2 "statistics pipeline"
+jobs; their outputs are small (≤ millions of rows) and broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# exterm.pl constants
+IAF_LEAST_VALUE = 0.5  # exterm.pl:17
+SCALE_DOWN_PUBS = 3  # exterm.pl:27 SCALE_DOWN_AUTHOR_CONTRIB_WITH_LESS_PUB_THAN_IT
+TOPIC_PUB_EXP = 0.666  # exterm.pl:507-515 estTopicPub
+
+# cnambig.pl fixed-point constants (cnambig.pl:452-782)
+AMBIG_SEED_CLUST_W = 0.9
+AMBIG_SEED_SOLO_W = 1.3
+AMBIG_ITER_SCALE = 1.22
+AMBIG_MAX_ROUNDS = 20
+AMBIG_CONVERGE_ABS = 500.0
+
+
+def conv_author_hits(features: DataFrame) -> DataFrame:
+    """(author, conv_id) participation pairs: every normalized role of a
+    conversation (focus + coauthors) 'authors' it — the transcript analog of
+    a pub's author list (exterm.pl:204-273)."""
+    return (
+        features.select(
+            "conv_id",
+            F.explode(
+                F.array_union(F.array("focus_name"), "coauthors")
+            ).alias("author"),
+        )
+        .where(F.col("author") != "")
+        .distinct()
+    )
+
+
+def term_weights(features: DataFrame) -> DataFrame:
+    """TF-IAF weighting (exterm.pl:517-733), conversations ≙ pubs.
+
+    Per term: over the authors whose conversations contain it —
+      scaledown(a)       = min(pubnum(a), 3) / 3            (:574-575)
+      hitFreqSum         = Σ hitFreq(a)·scaledown(a)
+      topicPubEstCount   = Σ max(hitFreq(a), pubnum(a)^0.666)·scaledown(a)
+      authorNumNonForay  = Σ scaledown(a)
+      tf    = hitFreqSum / topicPubEstCount                  (:664)
+      iaf   = log(maxAuthorNum / authorNumNonForay) + 0.5    (:665)
+      tfiaf = tf · iaf; all 0 when freq == 1                 (:655-666)
+
+    Returns term, freq, author_count, tf, iaf, tfiaf.
+    """
+    hits = conv_author_hits(features)
+    # term occurrences per conversation
+    conv_terms = features.select(
+        "conv_id", F.explode(F.map_keys("term_freq")).alias("term")
+    )
+    term_conv_freq = features.select(
+        "conv_id", F.explode("term_freq").alias("term", "tfreq")
+    )
+
+    pubnum = hits.groupBy("author").agg(F.count(F.lit(1)).alias("pubnum"))
+
+    # hitFreq(term, author) = # of the author's convs containing the term
+    term_author = (
+        conv_terms.join(hits, "conv_id")
+        .groupBy("term", "author")
+        .agg(F.count(F.lit(1)).alias("hit_freq"))
+        .join(pubnum, "author")
+        .withColumn(
+            "scaledown",
+            F.least(F.col("pubnum"), F.lit(SCALE_DOWN_PUBS)) / F.lit(float(SCALE_DOWN_PUBS)),
+        )
+    )
+
+    per_term = term_author.groupBy("term").agg(
+        F.count(F.lit(1)).alias("author_count"),
+        F.sum(F.col("hit_freq") * F.col("scaledown")).alias("hit_freq_sum"),
+        F.sum(
+            F.greatest(
+                F.col("hit_freq").cast("double"),
+                F.pow(F.col("pubnum").cast("double"), F.lit(TOPIC_PUB_EXP)),
+            )
+            * F.col("scaledown")
+        ).alias("topic_pub_est"),
+        F.sum("scaledown").alias("author_num_nonforay"),
+    )
+
+    freq = term_conv_freq.groupBy("term").agg(F.sum("tfreq").alias("freq"))
+    per_term = per_term.join(freq, "term")
+
+    max_author_num = per_term.agg(F.max("author_num_nonforay")).collect()[0][0]
+
+    return per_term.select(
+        "term",
+        "freq",
+        "author_count",
+        F.when(
+            (F.col("freq") == 1) | (F.col("author_num_nonforay") <= 0), F.lit(0.0)
+        )
+        .otherwise(F.round(F.col("hit_freq_sum") / F.col("topic_pub_est"), 6))
+        .alias("tf"),
+        F.when(
+            (F.col("freq") == 1) | (F.col("author_num_nonforay") <= 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.log(F.lit(float(max_author_num)) / F.col("author_num_nonforay"))
+                + F.lit(IAF_LEAST_VALUE),
+                6,
+            )
+        )
+        .alias("iaf"),
+    ).withColumn("tfiaf", F.round(F.col("tf") * F.col("iaf"), 6))
+
+
+def term_idf(features: DataFrame) -> DataFrame:
+    """Plain idf over conversations: log(N/df) — the normalized TF-IDF
+    cosine term of the north star uses this; TF-IAF above is the reference-
+    faithful variant."""
+    n = features.count()
+    return (
+        features.select("conv_id", F.explode(F.map_keys("term_freq")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("term", F.round(F.log(F.lit(float(n)) / F.col("df")), 6).alias("idf"))
+    )
+
+
+def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFrame:
+    """Name-ambiguity fixed point (cnambig.pl:452-782), as an iterative
+    DataFrame job (driver-controlled loop, like ALS/PageRank).
+
+    Seed: per name, CC over its conversations' coauthor sets sharing >= 2
+    members approximates distinct persons (cnambig.pl:373-414); we seed with
+    the cheaper distinct-coauthor-set heuristic
+    ``max(1, 0.9*clust_est - 1.3*solo_est)`` (ambiguityPredict,
+    cnambig.pl:306-327), then iterate the surname/givenname decomposition:
+
+      P(s) = Σ_{name: surname=s} ambig / Σ ambig ;  P(g) likewise
+      ambig'(name) = max(ambig(name), P(s)·P(g)·1.22·Σ ambig)   (monotone)
+
+    until Σ|Δ| < 500 or 20 rounds (cnambig.pl:674-693 sanity bounds).
+
+    Returns (name, occurrence, ambig).
+    """
+    # every normalized person name in the corpus with its conv count
+    names = (
+        conv_author_hits(features)
+        .groupBy("author")
+        .agg(F.count(F.lit(1)).alias("occurrence"))
+        .withColumnRenamed("author", "name")
+    )
+    # seed heuristics: distinct focus blocks where the name is focus give a
+    # cluster estimate; names never focal seed at 1.
+    clust_est = (
+        features.groupBy("focus_name")
+        .agg(F.countDistinct("venue").alias("clust_est"), F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("focus_name", "name")
+        .select(
+            "name",
+            F.greatest(
+                F.lit(1.0),
+                F.round(
+                    AMBIG_SEED_CLUST_W * F.col("clust_est")
+                    - AMBIG_SEED_SOLO_W * F.when(F.col("cnt") == 1, 1.0).otherwise(0.0),
+                    6,
+                ),
+            ).alias("seed"),
+        )
+    )
+    ambig = (
+        names.join(clust_est, "name", "left")
+        .withColumn("ambig", F.coalesce(F.col("seed"), F.lit(1.0)))
+        .select("name", "occurrence", "ambig")
+        # two-token names decompose; others iterate on themselves
+        .withColumn("surname", F.element_at(F.split("name", " "), -1))
+        .withColumn("givenname", F.element_at(F.split("name", " "), 1))
+    )
+
+    prev_total = None
+    for _ in range(rounds):
+        ambig = ambig.localCheckpoint(eager=True)
+        total = ambig.agg(F.sum("ambig")).collect()[0][0]
+        if prev_total is not None and abs(total - prev_total) < AMBIG_CONVERGE_ABS:
+            break
+        prev_total = total
+        s_prob = ambig.groupBy("surname").agg((F.sum("ambig") / total).alias("p_s"))
+        g_prob = ambig.groupBy("givenname").agg((F.sum("ambig") / total).alias("p_g"))
+        ambig = (
+            ambig.join(s_prob, "surname")
+            .join(g_prob, "givenname")
+            .withColumn(
+                "ambig",
+                F.greatest(
+                    F.col("ambig"),
+                    F.round(F.col("p_s") * F.col("p_g") * AMBIG_ITER_SCALE * total, 6),
+                ),
+            )
+            .select("name", "occurrence", "ambig", "surname", "givenname")
+        )
+    return ambig.select("name", "occurrence", F.round("ambig", 6).alias("ambig"))
+
+
+def coauthor_stats(features: DataFrame) -> DataFrame:
+    """Per-name coauthor counts (cnambig.pl:239-271; loader
+    NLPUtil.pm:1951-2001): (name, n_coauthors). Feeds the evidence-error
+    machinery (cn_coauthor_count)."""
+    hits = conv_author_hits(features)
+    pairs = (
+        hits.alias("a")
+        .join(hits.alias("b"), "conv_id")
+        .where(F.col("a.author") != F.col("b.author"))
+        .select(F.col("a.author").alias("name"), F.col("b.author").alias("coauthor"))
+        .distinct()
+    )
+    return pairs.groupBy("name").agg(F.count(F.lit(1)).alias("n_coauthors"))
+
+
+def tool_simi(features: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Venue-similarity regression (venuesimi.pl:43-74, 157-229), tools ≙
+    venues, focus names ≙ authors (first-3-author cap is moot — one focus
+    per conversation).
+
+    For each ordered tool pair (t1, t2): xs = per-author conv counts in t1,
+    ys = the same author's count in t2 (0 if absent);
+      relative_freq      = Σys / count1
+      linreg_simi        = Σxy / Σx²           (least squares through origin)
+      linreg_residue_dev = sqrt( Σ(y - x·slope)² / Σx² / slope² )
+    Rows with relative_freq == 0 are dropped (venuesimi.pl:188-190).
+    """
+    av = (
+        features.where(F.col("venue") != "UNKNOWN")
+        .groupBy("focus_name", "venue")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tool_count = av.groupBy("venue").agg(F.sum("cnt").alias("count1"))
+
+    a1 = av.select(
+        F.col("focus_name").alias("author"),
+        F.col("venue").alias("tool1"),
+        F.col("cnt").alias("x"),
+    )
+    a2 = av.select(
+        F.col("focus_name").alias("author"),
+        F.col("venue").alias("tool2"),
+        F.col("cnt").alias("y"),
+    )
+    # left join: every author of tool1, with its count in tool2 (0 if absent)
+    xy = (
+        a1.join(a2, "author", "left")
+        .where(F.col("tool2").isNotNull() & (F.col("tool1") != F.col("tool2")))
+        .groupBy("tool1", "tool2")
+        .agg(
+            F.sum("y").alias("count2"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    sxx = a1.groupBy("tool1").agg(F.sum(F.col("x") * F.col("x")).alias("sxx"))
+
+    # residue needs Σ(y - x·slope)² = Σy² - 2·slope·Σxy + slope²·Σx² over
+    # ALL authors of tool1 (ys=0 contribute x² terms). Σy² over shared only.
+    syy = (
+        a1.join(a2, "author")
+        .where(F.col("tool1") != F.col("tool2"))
+        .groupBy("tool1", "tool2")
+        .agg(F.sum(F.col("y") * F.col("y")).alias("syy"))
+    )
+
+    out = (
+        xy.join(syy, ["tool1", "tool2"])
+        .join(sxx, "tool1")
+        .join(tool_count.withColumnRenamed("venue", "tool1"), "tool1")
+        .where(F.col("n_shared") >= min_shared)
+        .withColumn("linreg_simi", F.col("sxy") / F.col("sxx"))
+        .withColumn("relative_freq", F.col("count2") / F.col("count1"))
+        .where(F.col("relative_freq") > 0)
+        .withColumn(
+            "linreg_residue_dev",
+            F.sqrt(
+                (
+                    F.col("syy")
+                    - 2 * F.col("linreg_simi") * F.col("sxy")
+                    + F.col("linreg_simi") * F.col("linreg_simi") * F.col("sxx")
+                )
+                / F.col("sxx")
+                / (F.col("linreg_simi") * F.col("linreg_simi"))
+            ),
+        )
+    )
+    return out.select(
+        "tool1",
+        "tool2",
+        F.round("relative_freq", 6).alias("relative_freq"),
+        F.round("linreg_simi", 6).alias("linreg_simi"),
+        F.round("linreg_residue_dev", 6).alias("linreg_residue_dev"),
+        F.col("count1").cast("long").alias("count1"),
+        F.col("count2").cast("long").alias("count2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic taxonomy + information content (ConceptNet analog)
+# ---------------------------------------------------------------------------
+
+TAXO_ATTENUATION = 0.8  # freq pass-up attenuation (ConceptNet.pm:27)
+
+
+def build_taxonomy(spark: SparkSession, vocab_prefix: str = "term", n_cats: int = 40) -> DataFrame:
+    """Deterministic mini-taxonomy over the synthetic vocabulary
+    (FIXTURES.md §3): term → category → super-category → root.
+    Edge format mirrors wikipedia/csmathling.txt (term, parent, depth)."""
+    rows = []
+    for c in range(n_cats):
+        super_c = f"supercat_{c % 5:02d}"
+        rows.append((f"cat_{c:02d}", super_c, 2))
+    for s in range(5):
+        rows.append((f"supercat_{s:02d}", "CONCEPT_NET_ROOT", 1))
+    return spark.createDataFrame(rows, "term string, parent string, depth int")
+
+
+def term_category(term_col):
+    """Deterministic term → category mapping for the synthetic vocab:
+    termXXXX → cat_{XXXX mod 40}. JVM-side expression."""
+    num = F.regexp_extract(term_col, r"^term(\d+)$", 1)
+    return F.when(num != "", F.concat(F.lit("cat_"), F.lpad(F.pmod(num.cast("int"), F.lit(40)).cast("string"), 2, "0")))
+
+
+def term_ic(features: DataFrame) -> DataFrame:
+    """Term/category information content (trainDBLPFile + calcNetIC,
+    ConceptNet.pm:5315-5411, 4931-4970): distributed term-freq aggregation
+    with attenuated pass-up to categories; IC = log(MC) − log(freq)."""
+    tf = (
+        features.select(F.explode("term_freq").alias("term", "freq"))
+        .groupBy("term")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    cat = tf.withColumn("cat", term_category(F.col("term"))).where(F.col("cat").isNotNull())
+    cat_freq = cat.groupBy("cat").agg(
+        (F.sum("freq") * TAXO_ATTENUATION).alias("freq")
+    ).withColumnRenamed("cat", "term")
+    all_freq = tf.unionByName(cat_freq)
+    mc = all_freq.agg(F.max("freq")).collect()[0][0]
+    return all_freq.select(
+        "term", "freq", F.round(F.log(F.lit(float(mc))) - F.log("freq"), 6).alias("ic")
+    )

@@ -1,0 +1,93 @@
+"""Pairwise precision/recall/F1 evaluation (calcPerf, clust.pl:727-836).
+
+Join-based pair counting — never materializes pairs:
+  predicted pairs  = Σ_clusters C(n,2)
+  truth pairs      = Σ_entities C(n,2)           (clust.pl:621-625)
+  correct pairs    = Σ_(cluster,entity) C(n,2)
+  P = correct/predicted, R = correct/truth, F1 = 2PR/(P+R)  (NLPUtil.pm:815)
+
+Macro-average across blocks mirrors batchCluster (clust.pl:389-435).
+Evaluation stays strictly within identical blocking keys (FIXTURES.md §5.3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _nc2(col):
+    return (F.col(col) * (F.col(col) - 1) / 2).cast("double")
+
+
+def pairwise_prf(assignments: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-block pairwise P/R/F1.
+
+    assignments: (block_key, conv_id, cluster_id)
+    labels:      (block_key, conv_id, entity_id)
+    """
+    joined = assignments.join(labels, ["block_key", "conv_id"])
+
+    pred = (
+        joined.groupBy("block_key", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("block_key")
+        .agg(F.sum(_nc2("n")).alias("pred_pairs"))
+    )
+    truth = (
+        joined.groupBy("block_key", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("block_key")
+        .agg(F.sum(_nc2("n")).alias("truth_pairs"))
+    )
+    correct = (
+        joined.groupBy("block_key", "cluster_id", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("block_key")
+        .agg(F.sum(_nc2("n")).alias("correct_pairs"))
+    )
+
+    out = (
+        pred.join(truth, "block_key")
+        .join(correct, "block_key")
+        .withColumn(
+            "precision",
+            F.when(F.col("pred_pairs") > 0, F.col("correct_pairs") / F.col("pred_pairs")).otherwise(1.0),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.col("truth_pairs") > 0, F.col("correct_pairs") / F.col("truth_pairs")).otherwise(1.0),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+    )
+    return out.select(
+        "block_key", "pred_pairs", "truth_pairs", "correct_pairs",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def macro_micro(prf: DataFrame) -> dict:
+    """Macro (mean of per-block) and micro (pooled pair counts) P/R/F1."""
+    row = prf.agg(
+        F.avg("precision").alias("macro_p"),
+        F.avg("recall").alias("macro_r"),
+        F.avg("f1").alias("macro_f1"),
+        F.sum("pred_pairs").alias("pp"),
+        F.sum("truth_pairs").alias("tp"),
+        F.sum("correct_pairs").alias("cp"),
+    ).collect()[0]
+    micro_p = row["cp"] / row["pp"] if row["pp"] else 1.0
+    micro_r = row["cp"] / row["tp"] if row["tp"] else 1.0
+    micro_f1 = 2 * micro_p * micro_r / (micro_p + micro_r) if micro_p + micro_r else 0.0
+    return {
+        "macro_p": row["macro_p"], "macro_r": row["macro_r"], "macro_f1": row["macro_f1"],
+        "micro_p": micro_p, "micro_r": micro_r, "micro_f1": micro_f1,
+    }

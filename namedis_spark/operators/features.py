@@ -41,7 +41,9 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         .groupBy("conv_id")
         .agg(
             F.min_by("norm_role", "turn_idx").alias("focus_name"),
+            F.min_by("role", "turn_idx").alias("focus_raw"),
             F.collect_set("norm_role").alias("all_roles"),
+            F.collect_list("tool").alias("tools_arr"),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
@@ -94,9 +96,22 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         ),
     ).drop("full_text")
 
+    # tool_freq: per-conversation tool usage counts (the reference's
+    # per-cluster venue vector, NLPUtil.pm:3196-3204, at conv granularity)
+    feats = feats.withColumn(
+        "tool_freq",
+        F.expr(
+            """map_from_arrays(
+                   array_sort(array_distinct(tools_arr)),
+                   transform(array_sort(array_distinct(tools_arr)),
+                             t -> cast(size(filter(tools_arr, x -> x = t)) as int))
+               )"""
+        ),
+    ).drop("tools_arr")
+
     return feats.select(
-        "conv_id", "block_key", "focus_name", "coauthors", "venue",
-        "term_freq", "year_from", "year_to", "n_turns",
+        "conv_id", "block_key", "focus_name", "focus_raw", "coauthors",
+        "venue", "tool_freq", "term_freq", "year_from", "year_to", "n_turns",
     )
 
 

@@ -1,0 +1,84 @@
+"""Round-checkpoint store with per-partition lineage + metrics.
+
+The north rule requires the clustering loop to be resumable from checkpoint
+with per-partition lineage and metrics. This store keeps each round's edge
+set as a parquet snapshot (parquet's ``_SUCCESS`` marker is the commit
+point — a killed write leaves no marker and the round is re-run), plus a
+``metrics`` table recording, per round and per partition, the row count and
+lineage (which round produced it, from which path, wall time).
+
+On a cluster this maps 1:1 onto an Iceberg table with ``round`` snapshots
+(`df.writeTo(...).append()` + snapshot ids); the sandbox has no Iceberg
+runtime jar, so the same commit semantics are provided with parquet
+directories. The interface is storage-agnostic on purpose.
+
+Reference analog: the pair-similarity memo cache emptied per name
+(ConceptNet.pm:5788,5862-5879) becomes a *persisted* pair-score/edge
+snapshot; `loadCache`/`saveCache` (NLPUtil.pm:4419-4470) become round
+snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _round_path(self, name: str, k: int) -> str:
+        return os.path.join(self.root, name, f"round={k:05d}")
+
+    def write_round(
+        self,
+        name: str,
+        k: int,
+        df: DataFrame,
+        lineage: dict | None = None,
+    ) -> DataFrame:
+        """Write round k, record per-partition metrics, return the re-read
+        (lineage-truncated) DataFrame."""
+        t0 = time.time()
+        path = self._round_path(name, k)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("name", F.lit(name))
+            .withColumn("round", F.lit(k))
+            .withColumn("path", F.lit(path))
+            .withColumn("wall_sec", F.lit(round(time.time() - t0, 3)))
+            .withColumn("lineage", F.lit(json.dumps(lineage or {})))
+        )
+        per_part.write.mode("append").parquet(os.path.join(self.root, "metrics"))
+        return out
+
+    def complete_rounds(self, name: str) -> list[int]:
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base):
+            return []
+        rounds = []
+        for d in sorted(os.listdir(base)):
+            if d.startswith("round=") and os.path.exists(os.path.join(base, d, "_SUCCESS")):
+                rounds.append(int(d.split("=")[1]))
+        return rounds
+
+    def latest_round(self, name: str) -> int | None:
+        rounds = self.complete_rounds(name)
+        return rounds[-1] if rounds else None
+
+    def read_round(self, name: str, k: int) -> DataFrame:
+        return self.spark.read.parquet(self._round_path(name, k))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "metrics"))

@@ -1,0 +1,83 @@
+"""Connected-components (large-star/small-star) correctness, determinism,
+and checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from namedis_spark.operators.cluster import connected_components
+from namedis_spark.sources.checkpoint import CheckpointStore
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = connected_components(spark, df, **kw)
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    for root in set(got.values()):
+        got.setdefault(root, root)  # roots are implicit (see assignments_from_edges)
+    return got
+
+
+def test_cc_basic_chain(spark):
+    # a-b-c chain plus isolated pair d-e
+    got = _cc(spark, [("b", "a"), ("b", "c"), ("d", "e")])
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == got["e"] == "d"
+
+
+def test_cc_long_path_converges(spark):
+    # path of 20 nodes — exercises multiple large/small-star rounds
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(19)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 20
+
+
+def test_cc_deterministic(spark):
+    edges = [("x3", "x1"), ("x2", "x3"), ("x9", "x5"), ("x5", "x2"), ("z2", "z1")]
+    a = _cc(spark, edges)
+    b = _cc(spark, list(reversed(edges)))
+    assert a == b
+
+
+def test_cc_checkpoint_resume_identical(spark, tmp_path):
+    """Kill-after-round-k resume: final assignment identical to an
+    uninterrupted run (FIXTURES.md §5.4)."""
+    edges = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(15)] + [
+        ("q1", "q2"), ("q2", "q3"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    full_dir = str(tmp_path / "full")
+    store = CheckpointStore(spark, full_dir)
+    full = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(spark, df, store=store, name="cc").collect()
+    }
+    rounds = store.complete_rounds("cc")
+    assert len(rounds) >= 2, "expected a multi-round run"
+
+    # simulate a kill after round 0: drop all later snapshots, resume
+    for k in rounds[1:]:
+        shutil.rmtree(f"{full_dir}/cc/round={k:05d}")
+    assert store.latest_round("cc") == rounds[0]
+    resumed = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            spark, df, store=store, name="cc", resume=True
+        ).collect()
+    }
+    assert resumed == full
+
+
+def test_cc_metrics_lineage_written(spark, tmp_path):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    store = CheckpointStore(spark, str(tmp_path / "m"))
+    connected_components(spark, df, store=store, name="cc")
+    m = store.metrics().toPandas()
+    # per-partition rows with lineage for every committed round
+    assert {"partition_id", "n_rows", "round", "path", "lineage", "wall_sec"} <= set(m.columns)
+    assert m["round"].nunique() >= 1
+    assert (m["lineage"].str.contains("large_star")).all()
