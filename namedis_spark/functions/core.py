@@ -54,6 +54,7 @@ def cslr_v2(
     outcome_expander: Callable[[dict, dict, float], dict] | None = None,
     min_odds: float = 0.0,
     max_counted_freq: float = 4.0,
+    _return_log: bool = False,
 ) -> tuple[float, float]:
     """CSLR v2 — Categorical Sampling Likelihood Ratio.
 
@@ -147,6 +148,7 @@ def cslr_v2(
         log_support = log_combination(m + n - 1, n)
         prob = math.exp(log_prob)
         lr = math.exp(log_prob + log_support)
+        log_lr = log_prob + log_support
     else:
         coeff = factorial(n)
         prob = 1.0
@@ -155,10 +157,20 @@ def cslr_v2(
             prob *= probs[k] ** f
         prob *= coeff
         lr = prob * combination(m + n - 1, n)
+        log_lr = math.log(lr) if lr > 0 else float("-inf")
 
+    if _return_log:
+        return prob, lr, log_lr
     if lr < min_odds:
         lr = min_odds if lr * 100 >= min_odds else min_odds / 100
     return prob, lr
+
+
+def cslr_v2_log(vv1: dict[str, float], vv2: dict[str, float], **kw) -> float:
+    """log(likelihood ratio) of cslr_v2, computed without exp/underflow
+    (no min_odds floor — the floor is linear-space semantics)."""
+    kw.pop("min_odds", None)
+    return cslr_v2(vv1, vv2, min_odds=0.0, _return_log=True, **kw)[2]
 
 
 # Venue/tool-expansion least-similarity gates (NLPUtil.pm:3003-3004).

@@ -492,6 +492,592 @@ def pairwise_f1_q(spark, sf_dir):
     ))
 
 
+# ---------------------------------------------------------------------------
+# §2.3/2.4 corpus side tables
+# ---------------------------------------------------------------------------
+
+_DUCK_HITS = f"""
+    conv_terms AS (
+        SELECT DISTINCT conv_id, unnest({content_terms_expr('text', 'duckdb')}) AS term
+        FROM transcripts
+    ),
+    term_occ AS (
+        SELECT term, CAST(count(*) AS bigint) AS freq FROM (
+            SELECT unnest({content_terms_expr('text', 'duckdb')}) AS term FROM transcripts
+        ) GROUP BY 1
+    ),
+    hits AS (
+        SELECT DISTINCT conv_id, {norm_name_expr('role', 'duckdb')} AS author
+        FROM transcripts
+    ),
+    pubnum AS (SELECT author, CAST(count(*) AS bigint) AS pubnum FROM hits GROUP BY 1)
+"""
+
+
+@q(
+    "tfiaf_weights",
+    _DUCK_TRANSCRIPTS
+    + ", "
+    + _DUCK_HITS
+    + """,
+    ta AS (
+        SELECT ct.term, h.author, CAST(count(*) AS bigint) AS hit_freq,
+               any_value(p.pubnum) AS pubnum,
+               least(any_value(p.pubnum), 3) / 3.0 AS scaledown
+        FROM conv_terms ct JOIN hits h USING (conv_id) JOIN pubnum p USING (author)
+        GROUP BY 1, 2
+    ),
+    per_term AS (
+        SELECT term,
+               CAST(count(*) AS bigint) AS author_count,
+               sum(hit_freq * scaledown) AS hit_freq_sum,
+               sum(greatest(CAST(hit_freq AS double), pubnum ^ 0.666) * scaledown) AS topic_pub_est,
+               sum(scaledown) AS author_num_nonforay
+        FROM ta GROUP BY 1
+    ),
+    with_freq AS (SELECT p.*, o.freq FROM per_term p JOIN term_occ o USING (term)),
+    mx AS (SELECT max(author_num_nonforay) AS max_an FROM with_freq),
+    final AS (
+        SELECT term, freq, author_count,
+               CASE WHEN freq = 1 OR author_num_nonforay <= 0 THEN 0.0
+                    ELSE round(hit_freq_sum / topic_pub_est, 6) END AS tf,
+               CASE WHEN freq = 1 OR author_num_nonforay <= 0 THEN 0.0
+                    ELSE round(ln((SELECT max_an FROM mx) / author_num_nonforay) + 0.5, 6) END AS iaf
+        FROM with_freq
+    )
+    SELECT term, freq, author_count, tf, iaf, round(tf * iaf, 6) AS tfiaf FROM final
+    """,
+)
+def tfiaf_weights(spark, sf_dir):
+    """TF-IAF term weighting (exterm.pl:517-733) — see
+    operators.corpus.term_weights."""
+    from namedis_spark.operators.corpus import term_weights
+
+    return term_weights(_features(spark, sf_dir))
+
+
+@q(
+    "tool_similarity",
+    _DUCK_FEATURES
+    + """,
+    av AS (
+        SELECT focus_name AS author, venue, CAST(count(*) AS bigint) AS cnt
+        FROM feats WHERE venue <> 'UNKNOWN' GROUP BY 1, 2
+    ),
+    tool_count AS (SELECT venue, CAST(sum(cnt) AS bigint) AS count1 FROM av GROUP BY 1),
+    xy AS (
+        SELECT a.venue AS tool1, b.venue AS tool2,
+               CAST(sum(b.cnt) AS bigint) AS count2,
+               sum(a.cnt * b.cnt) AS sxy,
+               sum(b.cnt * b.cnt) AS syy,
+               CAST(count(*) AS bigint) AS n_shared
+        FROM av a JOIN av b ON a.author = b.author AND a.venue <> b.venue
+        GROUP BY 1, 2
+    ),
+    sxx AS (SELECT venue AS tool1, sum(cnt * cnt) AS sxx FROM av GROUP BY 1)
+    SELECT x.tool1, x.tool2,
+           round(CAST(x.count2 AS double) / tc.count1, 6) AS relative_freq,
+           round(CAST(x.sxy AS double) / s.sxx, 6) AS linreg_simi,
+           round(sqrt((x.syy - 2.0 * (CAST(x.sxy AS double) / s.sxx) * x.sxy
+                       + (CAST(x.sxy AS double) / s.sxx) ^ 2 * s.sxx)
+                      / s.sxx / ((CAST(x.sxy AS double) / s.sxx) ^ 2)), 6)
+               AS linreg_residue_dev,
+           tc.count1, x.count2
+    FROM xy x JOIN sxx s USING (tool1) JOIN tool_count tc ON tc.venue = x.tool1
+    WHERE CAST(x.count2 AS double) / tc.count1 > 0
+    """,
+)
+def tool_similarity(spark, sf_dir):
+    """venue-similarity regression (venuesimi.pl:157-229) — see
+    operators.corpus.tool_simi."""
+    from namedis_spark.operators.corpus import tool_simi
+
+    return tool_simi(_features(spark, sf_dir))
+
+
+@q(
+    "year_discount_pairs",
+    _DUCK_FEATURES
+    + """
+    SELECT a.conv_id AS conv_id1, b.conv_id AS conv_id2,
+           CAST(CASE WHEN a.year_to < b.year_from THEN b.year_from - a.year_to
+                     WHEN b.year_to < a.year_from THEN a.year_from - b.year_to
+                     ELSE 0 END AS int) AS year_gap,
+           round(CASE WHEN (CASE WHEN a.year_to < b.year_from THEN b.year_from - a.year_to
+                                 WHEN b.year_to < a.year_from THEN a.year_from - b.year_to
+                                 ELSE 0 END) > 6 THEN 0.0
+                      WHEN (CASE WHEN a.year_to < b.year_from THEN b.year_from - a.year_to
+                                 WHEN b.year_to < a.year_from THEN a.year_from - b.year_to
+                                 ELSE 0 END) <= 2 THEN 1.0
+                      ELSE 0.7 ^ ((CASE WHEN a.year_to < b.year_from THEN b.year_from - a.year_to
+                                        WHEN b.year_to < a.year_from THEN a.year_from - b.year_to
+                                        ELSE 0 END) - 2) END, 6) AS year_discount
+    FROM feats a JOIN feats b ON a.conv_id < b.conv_id AND a.focus_name = b.focus_name
+    """,
+)
+def year_discount_pairs(spark, sf_dir):
+    """year-range gap + discount per within-block pair
+    (calcYearRangeDiff/calcYearDiffDiscount, ConceptNet.pm:5442-5473)."""
+    f = _features(spark, sf_dir)
+    a = f.select("conv_id", "focus_name", "year_from", "year_to")
+    gap = (
+        a.alias("a")
+        .join(a.alias("b"), "focus_name")
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_id1"),
+            F.col("b.conv_id").alias("conv_id2"),
+            F.when(
+                F.col("a.year_to") < F.col("b.year_from"),
+                F.col("b.year_from") - F.col("a.year_to"),
+            )
+            .when(
+                F.col("b.year_to") < F.col("a.year_from"),
+                F.col("a.year_from") - F.col("b.year_to"),
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("year_gap"),
+        )
+    )
+    return gap.withColumn(
+        "year_discount",
+        F.round(
+            F.when(F.col("year_gap") > 6, 0.0)
+            .when(F.col("year_gap") <= 2, 1.0)
+            .otherwise(F.pow(F.lit(0.7), F.col("year_gap") - 2)),
+            6,
+        ),
+    )
+
+
+@q(
+    "top_terms_per_conv",
+    _DUCK_TRANSCRIPTS
+    + f""",
+    tf AS (
+        SELECT conv_id, term, CAST(count(*) AS bigint) AS freq FROM (
+            SELECT conv_id, unnest({content_terms_expr('text', 'duckdb')}) AS term
+            FROM transcripts
+        ) GROUP BY 1, 2
+    )
+    SELECT conv_id, term, freq, CAST(rk AS int) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY freq DESC, term ASC) AS rk
+        FROM tf
+    ) WHERE rk <= 5
+    """,
+)
+def top_terms_per_conv(spark, sf_dir):
+    """top-N map entries by weight (hashTopN, NLPUtil.pm:2817-2838;
+    concept-vector top-N prune, ConceptNet.pm:6251-6266) via window rank."""
+    from pyspark.sql import Window
+
+    t = load_transcripts(spark, sf_dir)
+    tf = (
+        t.select("conv_id", F.explode(F.expr(content_terms_expr("text", "spark"))).alias("term"))
+        .groupBy("conv_id", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+@q(
+    "rare_focus_convs",
+    _DUCK_FEATURES
+    + """,
+    top3 AS (
+        SELECT focus_name FROM (
+            SELECT focus_name, count(*) AS n FROM feats GROUP BY 1
+            ORDER BY n DESC, focus_name ASC LIMIT 3
+        )
+    )
+    SELECT conv_id, focus_name FROM feats
+    WHERE focus_name NOT IN (SELECT focus_name FROM top3)
+    """,
+)
+def rare_focus_convs(spark, sf_dir):
+    """anti-join / subtractSet (NLPUtil.pm:2670-2705): conversations whose
+    focus is not among the 3 most frequent."""
+    f = _features(spark, sf_dir)
+    top3 = (
+        f.groupBy("focus_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("focus_name"))
+        .limit(3)
+        .select("focus_name")
+    )
+    return f.join(top3, "focus_name", "left_anti").select("conv_id", "focus_name")
+
+
+@q(
+    "block_role_union",
+    _DUCK_TRANSCRIPTS
+    + f""",
+    blocks AS (
+        SELECT conv_id,
+               min(CASE WHEN turn_idx = 0 THEN {norm_name_expr('role', 'duckdb')} END) AS block_key
+        FROM transcripts GROUP BY conv_id
+    )
+    SELECT b.block_key, {norm_name_expr('t.role', 'duckdb')} AS role,
+           CAST(count(*) AS bigint) AS freq
+    FROM transcripts t JOIN blocks b USING (conv_id)
+    GROUP BY 1, 2
+    """,
+)
+def block_role_union(spark, sf_dir):
+    """map-union with frequency sum (unionArrayToHashRef,
+    NLPUtil.pm:2732-2776): per-block role-frequency vector."""
+    t = load_transcripts(spark, sf_dir)
+    blocks = t.groupBy("conv_id").agg(
+        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    )
+    return (
+        t.join(blocks, "conv_id")
+        .groupBy("block_key", F.expr(norm_name_expr("role", "spark")).alias("role"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@q(
+    "venue_rank",
+    _DUCK_FEATURES
+    + """
+    SELECT venue, CAST(count(*) AS bigint) AS n_convs
+    FROM feats GROUP BY 1 ORDER BY n_convs DESC, venue ASC LIMIT 10
+    """,
+)
+def venue_rank(spark, sf_dir):
+    """multi-key sort + limit (topN/schwartzianSort, NLPUtil.pm:1550-1678,
+    2861-2874)."""
+    f = _features(spark, sf_dir)
+    return (
+        f.groupBy("venue")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .orderBy(F.desc("n_convs"), F.asc("venue"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 similarity operators — the pandas-UDF scorers vs independent SQL
+# ---------------------------------------------------------------------------
+
+_DUCK_CSLR = (
+    _DUCK_TRANSCRIPTS
+    + f""",
+    rf AS (
+        SELECT conv_id, {norm_name_expr('role', 'duckdb')} AS role,
+               CAST(count(*) AS bigint) AS f
+        FROM transcripts GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT conv_id,
+               min(CASE WHEN turn_idx = 0 THEN {norm_name_expr('role', 'duckdb')} END) AS block_key
+        FROM transcripts GROUP BY conv_id
+    ),
+    sums AS (SELECT conv_id, sum(f) AS s, count(*) AS k FROM rf GROUP BY 1),
+    pairs AS (
+        SELECT ba.block_key, ba.conv_id AS c1, bb.conv_id AS c2,
+               CASE WHEN sa.s < sb.s OR (sa.s = sb.s AND sa.k < sb.k)
+                    THEN bb.conv_id ELSE ba.conv_id END AS mult_conv,
+               CASE WHEN sa.s < sb.s OR (sa.s = sb.s AND sa.k < sb.k)
+                    THEN ba.conv_id ELSE bb.conv_id END AS samp_conv
+        FROM blocks ba
+        JOIN blocks bb ON ba.block_key = bb.block_key AND ba.conv_id < bb.conv_id
+        JOIN sums sa ON sa.conv_id = ba.conv_id
+        JOIN sums sb ON sb.conv_id = bb.conv_id
+    ),
+    mult AS (
+        SELECT p.c1, p.c2, r.role, least(r.f, 4) + 0.5 AS fprior
+        FROM pairs p JOIN rf r ON r.conv_id = p.mult_conv
+    ),
+    samp AS (
+        SELECT p.c1, p.c2, r.role, CAST(r.f AS double) AS f
+        FROM pairs p JOIN rf r ON r.conv_id = p.samp_conv
+    ),
+    mstats AS (
+        SELECT c1, c2, sum(fprior) + 0.5 AS s, count(*) + 1 AS m
+        FROM mult GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT s.c1, s.c2, s.f, m.fprior
+        FROM samp s LEFT JOIN mult m ON m.c1 = s.c1 AND m.c2 = s.c2 AND m.role = s.role
+    ),
+    sh AS (
+        SELECT c1, c2,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN f END), 0) AS shsum,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN lgamma(f + 1) END), 0) AS lg_fs,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN f * ln(fprior) END), 0) AS f_lnp,
+               coalesce(sum(CASE WHEN fprior IS NULL THEN f END), 0) AS usum,
+               sum(f) AS n0
+        FROM joined GROUP BY 1, 2
+    ),
+    calc AS (
+        SELECT p.block_key, p.c1 AS conv_id1, p.c2 AS conv_id2,
+               sh.shsum + greatest(sh.usum - floor(sh.n0 * 0.3334), 0) AS n,
+               greatest(sh.usum - floor(sh.n0 * 0.3334), 0) AS ua,
+               sh.lg_fs, sh.f_lnp, sh.shsum, ms.s, ms.m
+        FROM pairs p
+        JOIN sh ON sh.c1 = p.c1 AND sh.c2 = p.c2
+        JOIN mstats ms ON ms.c1 = p.c1 AND ms.c2 = p.c2
+    )
+    SELECT block_key, conv_id1, conv_id2,
+           round(lgamma(n + 1) - lg_fs - lgamma(ua + 1)
+                 + f_lnp - shsum * ln(s)
+                 + ua * (ln(0.5) - ln(s))
+                 + lgamma(m + n) - lgamma(n + 1) - lgamma(m), 6) AS log_cslr
+    FROM calc
+"""
+)
+
+
+@q("cslr_role_pairs", _DUCK_CSLR)
+def cslr_role_pairs(spark, sf_dir):
+    """CSLR v2 likelihood ratio (log) over per-conversation role-frequency
+    vectors, per within-block pair — the novel categorical similarity as an
+    Arrow-batched pandas UDF (isSameCategorical2, NLPUtil.pm:3486-3712),
+    verified here against an independent closed-form SQL oracle."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.core import cslr_v2_log
+
+    t = load_transcripts(spark, sf_dir)
+    rf = t.groupBy(
+        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
+    ).agg(F.count(F.lit(1)).cast("int").alias("f"))
+    vecs = rf.groupBy("conv_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec")
+    )
+    blocks = t.groupBy("conv_id").agg(
+        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    )
+    side = blocks.join(vecs, "conv_id")
+    a = side.select(
+        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
+    )
+    b = side.select(
+        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
+    )
+    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("block_key", T.StringType()),
+            T.StructField("conv_id1", T.StringType()),
+            T.StructField("conv_id2", T.StringType()),
+            T.StructField("log_cslr", T.DoubleType()),
+        ]
+    )
+
+    def udf(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [
+                round(cslr_v2_log(dict(v1), dict(v2)), 6)
+                for v1, v2 in zip(pdf["v1"], pdf["v2"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "block_key": pdf["block_key"],
+                    "conv_id1": pdf["conv_id1"],
+                    "conv_id2": pdf["conv_id2"],
+                    "log_cslr": vals,
+                }
+            )
+
+    return pairs.mapInPandas(udf, schema=out_schema)
+
+
+@q(
+    "jaro_winkler_names",
+    _DUCK_TRANSCRIPTS
+    + """
+    , names AS (SELECT DISTINCT role FROM transcripts)
+    SELECT a.role AS name1, b.role AS name2,
+           round(jaro_winkler_similarity(a.role, b.role), 6) AS jw
+    FROM names a JOIN names b ON a.role < b.role
+    """,
+)
+def jaro_winkler_names(spark, sf_dir):
+    """Jaro-Winkler similarity between distinct speaker-name surfaces
+    (north-star string channel) — pandas UDF vs DuckDB's builtin."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.core import jaro_winkler
+
+    t = load_transcripts(spark, sf_dir)
+    names = t.select("role").distinct()
+    pairs = (
+        names.alias("a")
+        .join(names.alias("b"), F.col("a.role") < F.col("b.role"))
+        .select(F.col("a.role").alias("name1"), F.col("b.role").alias("name2"))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("name1", T.StringType()),
+            T.StructField("name2", T.StringType()),
+            T.StructField("jw", T.DoubleType()),
+        ]
+    )
+
+    def udf(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["jw"] = [
+                round(jaro_winkler(x, y), 6)
+                for x, y in zip(pdf["name1"], pdf["name2"])
+            ]
+            yield pdf[["name1", "name2", "jw"]]
+
+    return pairs.mapInPandas(udf, schema=schema)
+
+
+@q(
+    "tfidf_cosine_pairs",
+    _DUCK_TRANSCRIPTS
+    + f""",
+    tf AS (
+        SELECT conv_id, term, CAST(count(*) AS bigint) AS f FROM (
+            SELECT conv_id, unnest({content_terms_expr('text', 'duckdb')}) AS term
+            FROM transcripts
+        ) GROUP BY 1, 2
+    ),
+    nconv AS (SELECT CAST(count(DISTINCT conv_id) AS double) AS n FROM transcripts),
+    idf AS (SELECT term, ln((SELECT n FROM nconv) / count(*)) AS idf FROM tf GROUP BY term),
+    v AS (SELECT tf.conv_id, tf.term, tf.f * idf.idf AS w FROM tf JOIN idf USING (term)),
+    norms AS (SELECT conv_id, sqrt(sum(w * w)) AS nrm FROM v GROUP BY 1),
+    blocks AS (
+        SELECT conv_id,
+               min(CASE WHEN turn_idx = 0 THEN {norm_name_expr('role', 'duckdb')} END) AS block_key
+        FROM transcripts GROUP BY conv_id
+    ),
+    dots AS (
+        SELECT a.conv_id AS conv_id1, b.conv_id AS conv_id2, sum(a.w * b.w) AS dot
+        FROM v a JOIN v b ON a.term = b.term AND a.conv_id < b.conv_id
+        GROUP BY 1, 2
+    )
+    SELECT ba.block_key, ba.conv_id AS conv_id1, bb.conv_id AS conv_id2,
+           round(coalesce(d.dot, 0) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM blocks ba
+    JOIN blocks bb ON ba.block_key = bb.block_key AND ba.conv_id < bb.conv_id
+    JOIN norms na ON na.conv_id = ba.conv_id
+    JOIN norms nb ON nb.conv_id = bb.conv_id
+    LEFT JOIN dots d ON d.conv_id1 = ba.conv_id AND d.conv_id2 = bb.conv_id
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF cosine over turn text per within-block pair (north-star
+    vector channel) — functions.core.tfidf_cosine in a pandas UDF vs an
+    explode-join SQL oracle."""
+    import math
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.core import tfidf_cosine
+
+    f = _features(spark, sf_dir)
+    n = f.count()
+    idf_df = (
+        f.select(F.explode(F.map_keys("term_freq")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("term", (F.log(F.lit(float(n)) / F.col("df"))).alias("idf"))
+    )
+    idf = {r["term"]: r["idf"] for r in idf_df.collect()}
+    bidf = spark.sparkContext.broadcast(idf)
+
+    side = f.select("block_key", "conv_id", "term_freq")
+    a = side.select(
+        "block_key", F.col("conv_id").alias("conv_id1"), F.col("term_freq").alias("t1")
+    )
+    b = side.select(
+        "block_key", F.col("conv_id").alias("conv_id2"), F.col("term_freq").alias("t2")
+    )
+    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+
+    schema = T.StructType(
+        [
+            T.StructField("block_key", T.StringType()),
+            T.StructField("conv_id1", T.StringType()),
+            T.StructField("conv_id2", T.StringType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def udf(batches):
+        w = bidf.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = []
+            for t1, t2 in zip(pdf["t1"], pdf["t2"]):
+                v1 = {k: v * w.get(k, 0.0) for k, v in dict(t1).items()}
+                v2 = {k: v * w.get(k, 0.0) for k, v in dict(t2).items()}
+                vals.append(round(tfidf_cosine(v1, v2), 6))
+            yield pd.DataFrame(
+                {
+                    "block_key": pdf["block_key"],
+                    "conv_id1": pdf["conv_id1"],
+                    "conv_id2": pdf["conv_id2"],
+                    "cosine": vals,
+                }
+            )
+
+    return pairs.mapInPandas(udf, schema=schema)
+
+
+@q(
+    "key_ambiguity",
+    _DUCK_FEATURES
+    + f""",
+    hits AS (
+        SELECT DISTINCT conv_id, {norm_name_expr('role', 'duckdb')} AS name
+        FROM transcripts
+    ),
+    names AS (SELECT name, CAST(count(*) AS bigint) AS occurrence FROM hits GROUP BY 1),
+    seed AS (
+        SELECT focus_name AS name,
+               greatest(1.0, round(0.9 * count(DISTINCT venue)
+                                   - 1.3 * (CASE WHEN count(*) = 1 THEN 1.0 ELSE 0.0 END), 6))
+                   AS seed
+        FROM feats GROUP BY 1
+    ),
+    a0 AS (
+        SELECT n.name, n.occurrence, coalesce(s.seed, 1.0) AS ambig,
+               (string_split(n.name, ' '))[-1] AS surname,
+               (string_split(n.name, ' '))[1] AS givenname
+        FROM names n LEFT JOIN seed s USING (name)
+    ),
+    tot AS (SELECT sum(ambig) AS total FROM a0),
+    sp AS (SELECT surname, sum(ambig) / (SELECT total FROM tot) AS p_s FROM a0 GROUP BY 1),
+    gp AS (SELECT givenname, sum(ambig) / (SELECT total FROM tot) AS p_g FROM a0 GROUP BY 1)
+    SELECT a0.name, a0.occurrence,
+           round(greatest(a0.ambig,
+                          round(sp.p_s * gp.p_g * 1.22 * (SELECT total FROM tot), 6)), 6) AS ambig
+    FROM a0 JOIN sp USING (surname) JOIN gp USING (givenname)
+    """,
+)
+def key_ambiguity_q(spark, sf_dir):
+    """name-ambiguity fixed point (cnambig.pl:452-782) — at this scale the
+    absolute-convergence test (Σ|Δ| < 500) stops after one update, which the
+    oracle replays exactly."""
+    from namedis_spark.operators.corpus import key_ambiguity
+
+    return key_ambiguity(_features(spark, sf_dir))
+
+
 def entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
