@@ -1078,6 +1078,363 @@ def key_ambiguity_q(spark, sf_dir):
     return key_ambiguity(_features(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# §2.2 cleaning + training-data text ops (documents table)
+# ---------------------------------------------------------------------------
+
+
+def _duck_replace_chain(col: str, pairs) -> str:
+    expr = col
+    for a, b in pairs:
+        expr = f"replace({expr}, '{a}', \"{b}\")" if b == "'" else f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
+def _xml_restore_oracle() -> str:
+    from namedis_spark.operators.textops import XML_ENTITIES
+
+    expr = "text"
+    for a, b in XML_ENTITIES:
+        lit = b.replace("'", "''")
+        expr = f"replace({expr}, '{a}', '{lit}')"
+    return f"SELECT doc_id, {expr} AS restored FROM documents"
+
+
+@q("xml_entity_restore", _xml_restore_oracle())
+def xml_entity_restore(spark, sf_dir):
+    """XML-entity restore chain (clean.pl:210-237, restoreXmlEntity
+    NLPUtil.pm:764-773)."""
+    from namedis_spark.operators.textops import restore_xml_entities
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return restore_xml_entities(docs).select("doc_id", "restored")
+
+
+def _strip_publisher_oracle() -> str:
+    from namedis_spark.operators.textops import PUBLISHER_PATTERNS
+
+    expr = "lower(text)"
+    for pat, rep in PUBLISHER_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"SELECT doc_id, trim({expr}) AS stripped FROM documents"
+
+
+@q("strip_publisher", _strip_publisher_oracle())
+def strip_publisher_q(spark, sf_dir):
+    """publisher/page-count/year strip chain (removePublisher,
+    NLPUtil.pm:1522-1548)."""
+    from namedis_spark.operators.textops import strip_publisher
+
+    register_views(spark, sf_dir)
+    return strip_publisher(spark.table("documents")).select("doc_id", "stripped")
+
+
+@q(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars,
+           CAST(len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')) AS bigint) AS n_ws_tokens,
+           CAST(len({tokens_expr('text', 'duckdb')}) AS bigint) AS n_tokens,
+           CAST(len(list_distinct({tokens_expr('text', 'duckdb')})) AS bigint) AS n_distinct
+    FROM documents
+    """,
+)
+def token_stats_q(spark, sf_dir):
+    """token counting (whitespace + regex + distinct terms)."""
+    from namedis_spark.operators.textops import token_stats
+
+    register_views(spark, sf_dir)
+    return token_stats(spark.table("documents"))
+
+
+@q(
+    "quality_scores",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter({tokens_expr('text', 'duckdb')},
+                                 t -> list_contains([{stopword_list_sql()}], t)))
+                 / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double), 6)
+               AS stopword_ratio,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS double), 6) AS alpha_ratio,
+           round(list_aggregate(list_transform({tokens_expr('text', 'duckdb')},
+                                               t -> CAST(length(t) AS double)), 'sum')
+                 / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double), 6)
+               AS mean_token_len
+    FROM documents
+    """,
+)
+def quality_scores_q(spark, sf_dir):
+    """quality scoring: stopword/alpha ratios, mean token length."""
+    from namedis_spark.operators.textops import quality_scores
+
+    register_views(spark, sf_dir)
+    return quality_scores(spark.table("documents"))
+
+
+@q(
+    "language_id",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter({tokens_expr('text', 'duckdb')},
+                                 t -> list_contains([{stopword_list_sql()}], t)))
+                 / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double), 6)
+               AS en_vote,
+           CASE WHEN len(list_filter({tokens_expr('text', 'duckdb')},
+                                     t -> list_contains([{stopword_list_sql()}], t)))
+                     / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double) > 0.02
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+)
+def language_id_q(spark, sf_dir):
+    """dictionary-vote language ID (testLang, clean.pl:445-541)."""
+    from namedis_spark.operators.textops import language_id
+
+    register_views(spark, sf_dir)
+    return language_id(spark.table("documents"))
+
+
+@q(
+    "doc_fingerprints",
+    f"SELECT doc_id, {fingerprint_expr('text', 'duckdb')} AS fingerprint FROM documents",
+)
+def doc_fingerprints(spark, sf_dir):
+    """document fingerprinting (normalized-content md5)."""
+    from namedis_spark.operators.textops import fingerprints
+
+    register_views(spark, sf_dir)
+    return fingerprints(spark.table("documents"))
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT {fingerprint_expr('text', 'duckdb')} AS fingerprint,
+           CAST(count(*) AS bigint) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """exact dedup via content-fingerprint groupBy."""
+    from namedis_spark.operators.dedup import exact_duplicates
+
+    register_views(spark, sf_dir)
+    return exact_duplicates(spark.table("documents"))
+
+
+def _minhash_oracle() -> str:
+    from namedis_spark.operators.dedup import _A, _B, MINHASH_PRIME, N_HASHES, shingle_keys
+
+    sh = shingle_keys("text", dialect="duckdb")
+    hcols = ", ".join(
+        f"list_min(list_transform(shingles, x -> ({_A[i]} * x + {_B[i]}) % {MINHASH_PRIME})) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+        SELECT doc_id, {hcols}
+        FROM (SELECT doc_id, {sh} AS shingles FROM documents)
+        WHERE len(shingles) > 0
+    """
+
+
+@q("minhash_signatures", _minhash_oracle())
+def minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures over md5-derived character-3-gram shingles —
+    portable affine hashes reproduced bit-for-bit by the SQL oracle."""
+    from namedis_spark.operators.dedup import minhash_signatures
+
+    register_views(spark, sf_dir)
+    return minhash_signatures(spark.table("documents"))
+
+
+def _lsh_oracle() -> str:
+    from namedis_spark.operators.dedup import N_BANDS, N_HASHES
+
+    rows = N_HASHES // N_BANDS
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, "
+        + f"{bnd} AS band, concat_ws('_', "
+        + ", ".join(f"h{bnd * rows + j}" for j in range(rows))
+        + ") AS bucket FROM sig"
+        for bnd in range(N_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_minhash_oracle()}),
+        exploded AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM exploded a JOIN exploded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@q("minhash_lsh_candidates", _lsh_oracle())
+def minhash_lsh_candidates(spark, sf_dir):
+    """LSH banding candidates: same-band-bucket document pairs."""
+    from namedis_spark.operators.dedup import lsh_candidate_pairs
+
+    register_views(spark, sf_dir)
+    return lsh_candidate_pairs(spark.table("documents"))
+
+
+def _ngram_jaccard_oracle(threshold: float = 0.5) -> str:
+    from namedis_spark.operators.dedup import shingle_keys
+
+    sh = shingle_keys("text", dialect="duckdb")
+    return f"""
+        WITH sets AS (SELECT doc_id, {sh} AS shingles FROM documents),
+        ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS k FROM sets),
+        inter AS (
+            SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                   CAST(count(*) AS bigint) AS i,
+                   any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
+            FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id1, doc_id2,
+               round(CAST(i AS double) / (sz1 + sz2 - i), 6) AS jaccard
+        FROM inter
+        WHERE round(CAST(i AS double) / (sz1 + sz2 - i), 6) >= {threshold}
+    """
+
+
+@q("ngram_jaccard_dups", _ngram_jaccard_oracle())
+def ngram_jaccard_dups(spark, sf_dir):
+    """near-dup pairs by exact character-3-gram Jaccard >= 0.5."""
+    from namedis_spark.operators.dedup import ngram_jaccard_pairs
+
+    register_views(spark, sf_dir)
+    return ngram_jaccard_pairs(spark.table("documents"), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    toks = tokens_expr("text", "duckdb")
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS bigint) AS w,
+                   CAST(concat('0x', substring(md5(tok), 1, 8)) AS bigint) AS h
+            FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        votes AS (
+            SELECT doc_id, j.j AS bit,
+                   sum(CASE WHEN CAST(floor(h / (2 ^ j.j)) AS bigint) % 2 = 1
+                            THEN w ELSE -w END) AS v
+            FROM tf, (SELECT unnest(range(0, {bits})) AS j) j
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN CAST(2 ^ bit AS bigint) ELSE 0 END) AS bigint)
+                   AS simhash
+        FROM votes GROUP BY 1
+    """
+
+
+@q("simhash_fingerprints", _simhash_oracle())
+def simhash_fingerprints(spark, sf_dir):
+    """SimHash 32-bit fingerprints (weighted md5 bit votes)."""
+    from namedis_spark.operators.dedup import simhash
+
+    register_views(spark, sf_dir)
+    return simhash(spark.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_ANN_K = 5
+
+_DUCK_ANN = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS d FROM v
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY 1),
+    qs AS (SELECT vec_id FROM v WHERE vec_id < 10),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.x * b.x) AS dot
+        FROM dims a JOIN dims b ON a.d = b.d
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.cand_id,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rk AS int) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {_ANN_K}
+"""
+
+
+@q("ann_cosine_topk", _DUCK_ANN)
+def ann_cosine_topk(spark, sf_dir):
+    """brute-force cosine top-k (queries = vec_id < 10) — the exactness
+    baseline for ANN; ranking on round-6 cosine with id tie-break so both
+    engines order identically."""
+    from namedis_spark.operators.similarity import brute_force_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=_ANN_K)
+
+
+@q(
+    "embedding_cosine_dups",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e
+        FROM embeddings
+    ),
+    dims AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS d FROM v),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY 1),
+    dots AS (
+        SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2, sum(a.x * b.x) AS dot
+        FROM dims a JOIN dims b ON a.d = b.d AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT d.vec_id1, d.vec_id2, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_id1
+    JOIN norms nb ON nb.vec_id = d.vec_id2
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.95
+    """,
+)
+def embedding_cosine_dups(spark, sf_dir):
+    """embedding near-dup pairs (cosine >= 0.95)."""
+    from namedis_spark.operators.dedup import embedding_cosine_pairs
+
+    register_views(spark, sf_dir)
+    return embedding_cosine_pairs(spark.table("embeddings"), threshold=0.95)
+
+
+@q("multimodal_features", None)  # binary plumbing — no SQL oracle (rows-only)
+def multimodal_features(spark, sf_dir):
+    """multimodal binary-column plumbing: docs → media table (binary
+    payload + typed metadata) → mapInPandas feature extraction (decode
+    stubbed deterministically; see operators.multimodal)."""
+    from namedis_spark.operators.multimodal import extract_features, to_media_table
+
+    register_views(spark, sf_dir)
+    media = to_media_table(spark.table("documents"))
+    return extract_features(media).select(
+        "doc_id", "media_type", "n_bytes",
+        F.round(F.element_at("feature", 2), 6).alias("f_checksum"),
+    )
+
+
 def entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
