@@ -80,19 +80,35 @@ def connected_components(
             e = store.read_round(name, latest)
             start_round = latest + 1
 
+    def _stats(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    # convergence = identical (count, xor-of-xxhash64 checksum) of the
+    # distinct edge set across rounds — piggybacked on the per-round
+    # metrics job instead of extra exceptAll shuffles (collision odds
+    # ~2^-64; the edge sets are already distinct)
+    prev = None
     for k in range(start_round, max_rounds):
         new_e = _small_star(_large_star(e))
         if store is not None:
-            new_e = store.write_round(
-                name, k, new_e, lineage={"op": "large_star+small_star", "prev_round": k - 1}
+            new_e, cur = store.write_round(
+                name,
+                k,
+                new_e,
+                lineage={"op": "large_star+small_star", "prev_round": k - 1},
+                stat_cols=["src", "dst"],
             )
         else:
             new_e = new_e.localCheckpoint(eager=True)
-        # converged when the edge set is unchanged
-        changed = new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+            cur = _stats(new_e)
         e = new_e
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
 
     # star graph: every src points at its component min (dst)
     return e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))

@@ -60,14 +60,13 @@ def term_weights(features: DataFrame) -> DataFrame:
 
     Returns term, freq, author_count, tf, iaf, tfiaf.
     """
-    hits = conv_author_hits(features)
-    # term occurrences per conversation
-    conv_terms = features.select(
-        "conv_id", F.explode(F.map_keys("term_freq")).alias("term")
-    )
+    # the feature scan feeds four aggregations + a collect — persist the
+    # two small exploded projections so feature extraction runs once
+    hits = conv_author_hits(features).persist()
     term_conv_freq = features.select(
         "conv_id", F.explode("term_freq").alias("term", "tfreq")
-    )
+    ).persist()
+    conv_terms = term_conv_freq.select("conv_id", "term")
 
     pubnum = hits.groupBy("author").agg(F.count(F.lit(1)).alias("pubnum"))
 

@@ -64,6 +64,33 @@ def shingle_keys(text_col: str, n: int = 3, dialect: str = "spark") -> str:
     )
 
 
+def _shingles_df(docs: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingles) over the normalized text.
+
+    The trivial `groupBy(doc_id).agg(first(norm))` is a deliberate
+    materialization barrier: Catalyst's projection collapse would otherwise
+    inline the O(len) normalization into every per-gram lambda invocation,
+    making shingling O(len²) per document (measured 12x slower). The
+    shuffle moves one short row per doc; at corpus scale the normalized
+    table would be a persisted intermediate anyway."""
+    toks = tokens_expr(text_col, "spark")
+    norm = docs.select(
+        "doc_id", F.expr(f"array_join({toks}, ' ')").alias("_norm")
+    ).groupBy("doc_id").agg(F.first("_norm").alias("_norm"))
+    grams = (
+        f"transform(filter(sequence(1, greatest(length(_norm) - {n - 1}, 1)),"
+        f" i -> i + {n - 1} <= length(_norm)),"
+        f" i -> substring(_norm, i, {n}))"
+    )
+    return norm.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform({grams},"
+            f" g -> cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)))"
+        ).alias("shingles"),
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via content fingerprint: groups with >1 doc, keeper =
     min doc_id. One map-side-combinable shuffle on the fingerprint."""
@@ -81,16 +108,18 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, h0..h{N-1}) minhash signature via portable affine hashes
-    over md5 shingle keys. All JVM-side expressions."""
-    sh = shingle_keys(text_col, dialect="spark")
-    out = docs.select("doc_id", F.expr(sh).alias("shingles"))
-    cols = [
-        F.expr(
-            f"array_min(transform(shingles, x -> pmod({_A[i]}L * x + {_B[i]}L, {MINHASH_PRIME}L)))"
-        ).alias(f"h{i}")
+    over md5 shingle keys. Explode + N min-aggregates: the shingle set is
+    computed once per document (projection collapse would otherwise
+    re-evaluate the md5 chain per hash function) and the mins are
+    map-side-combinable."""
+    ex = _shingles_df(docs, text_col).select(
+        "doc_id", F.explode("shingles").alias("x")
+    )
+    aggs = [
+        F.min(F.expr(f"pmod({_A[i]}L * x + {_B[i]}L, {MINHASH_PRIME}L)")).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return out.select("doc_id", *cols).where(F.col("h0").isNotNull())
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -131,10 +160,7 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard: |∩|/|∪| per pair, filtered at threshold.
     With `candidates` (e.g. from LSH) verification joins only those pairs;
     otherwise the shingle equi-join generates pairs sharing >= 1 shingle."""
-    sh = shingle_keys(text_col, dialect="spark")
-    sets = docs.select("doc_id", F.expr(sh).alias("shingles")).withColumn(
-        "sz", F.size("shingles")
-    )
+    sets = _shingles_df(docs, text_col).withColumn("sz", F.size("shingles"))
     ex = sets.select("doc_id", "sz", F.explode("shingles").alias("k"))
     a = ex.select(F.col("doc_id").alias("doc_id1"), F.col("sz").alias("sz1"), "k")
     b = ex.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"), "k")

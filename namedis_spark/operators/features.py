@@ -82,19 +82,24 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
     )
 
     # term_freq: content tokens (stopword-filtered, lemmatized) of the
-    # ordered full text → frequency map. Single-pass, JVM-side, no extra
-    # shuffle: distinct terms + per-term counts within the row.
-    terms_sql = content_terms_expr("full_text", "spark")
-    feats = feats.withColumn(
-        "term_freq",
-        F.expr(
-            f"""map_from_arrays(
-                    array_sort(array_distinct({terms_sql})),
-                    transform(array_sort(array_distinct({terms_sql})),
-                              t -> cast(size(filter({terms_sql}, x -> x = t)) as int))
-                )"""
-        ),
-    ).drop("full_text")
+    # ordered full text → frequency map. The terms array is materialized
+    # once per row (re-evaluating the tokenizer expression inside the
+    # counting lambda would be O(distinct × tokens × tokenize-cost)), then
+    # counted against a sorted copy — single-pass, JVM-side, no shuffle.
+    feats = (
+        feats.withColumn("_terms", F.expr(content_terms_expr("full_text", "spark")))
+        .withColumn(
+            "term_freq",
+            F.expr(
+                """map_from_arrays(
+                       array_sort(array_distinct(_terms)),
+                       transform(array_sort(array_distinct(_terms)),
+                                 t -> cast(size(filter(_terms, x -> x = t)) as int))
+                   )"""
+            ),
+        )
+        .drop("full_text", "_terms")
+    )
 
     # tool_freq: per-conversation tool usage counts (the reference's
     # per-cluster venue vector, NLPUtil.pm:3196-3204, at conv granularity)

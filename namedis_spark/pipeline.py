@@ -57,19 +57,40 @@ def run(
         )
 
     # -- corpus side tables (EP2 analog) ----------------------------------
-    ambiguity = corpus.key_ambiguity(features, rounds=ambiguity_rounds)
-    coauthor_counts = corpus.coauthor_stats(features)
-    idf = corpus.term_idf(features)
-    tool_similarity = corpus.tool_simi(features)
-    ic = corpus.term_ic(features)
-    side = collect_side_tables(
-        features,
-        ambiguity=ambiguity,
-        coauthor_counts=coauthor_counts,
-        idf=idf,
-        tool_similarity=tool_similarity,
-        ic=ic,
-    )
+    # The five side-table jobs are independent; Spark schedules concurrent
+    # jobs from separate driver threads, so their (small-data) latencies
+    # overlap instead of adding up.
+    features.persist().count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_amb = ex.submit(
+            lambda: corpus.key_ambiguity(features, rounds=ambiguity_rounds).collect()
+        )
+        f_co = ex.submit(lambda: corpus.coauthor_stats(features).collect())
+        f_idf = ex.submit(lambda: corpus.term_idf(features).collect())
+        f_ts = ex.submit(lambda: corpus.tool_simi(features).collect())
+        f_ic = ex.submit(lambda: corpus.term_ic(features).collect())
+        amb_rows, co_rows, idf_rows, ts_rows, ic_rows = (
+            f_amb.result(), f_co.result(), f_idf.result(), f_ts.result(), f_ic.result()
+        )
+
+    from namedis_spark.operators.scoring import SideTables
+
+    side = SideTables()
+    side.ambig = {r["name"]: float(r["ambig"]) for r in amb_rows}
+    side.ambig_sum_total = max(1.0, sum(side.ambig.values()))
+    side.cn_counts = {r["name"]: float(r["n_coauthors"]) for r in co_rows}
+    side.idf = {r["term"]: float(r["idf"]) for r in idf_rows}
+    tool_map: dict[str, list[tuple[str, float]]] = {}
+    for r in ts_rows:
+        tool_map.setdefault(r["tool1"], []).append((r["tool2"], float(r["linreg_simi"])))
+    for v in tool_map.values():
+        v.sort(key=lambda kv: (-kv[1], kv[0]))
+    side.tool_simi_map = tool_map
+    side.cat_ic = {
+        r["term"]: float(r["ic"]) for r in ic_rows if r["term"].startswith("cat_")
+    }
 
     # -- blocking + scoring (stage snapshot) ------------------------------
     if resume and store.latest_round("scored") is not None:

