@@ -110,6 +110,8 @@ def connected_components(
             break
         prev = cur
 
+    if store is not None:
+        store.flush()  # join async per-round lineage/metrics writes
     # star graph: every src points at its component min (dst)
     return e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
 

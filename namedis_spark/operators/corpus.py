@@ -187,6 +187,18 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
         .withColumn("givenname", F.element_at(F.split("name", " "), 1))
     )
 
+    # The iteration refines per-name ambiguity by the surname/givenname
+    # product decomposition (cnambig.pl:713-758: ambig = P(s)·P(g)·1.22·
+    # nameCount, monotone max against the previous estimate), with one
+    # sanity bound the reference gets implicitly from its integer person
+    # bookkeeping (rationalRound + the count cross-checks,
+    # cnambig.pl:674-693): a name observed k times cannot denote more than
+    # k persons, so each refined value is capped at the name's occurrence.
+    # Without the cap, dense name grids (hundreds of distinct names sharing
+    # BOTH surname and givenname cells) make the product term diverge —
+    # and ambig_sum_total must stay at person-count scale because
+    # coauthorEvidenceError divides by it (NLPUtil.pm:4096-4137:
+    # oe(name)/ambigSumTotal ≈ fraction of all persons bearing the name).
     prev_total = None
     for _ in range(rounds):
         ambig = ambig.localCheckpoint(eager=True)
@@ -201,9 +213,14 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
             .join(g_prob, "givenname")
             .withColumn(
                 "ambig",
-                F.greatest(
-                    F.col("ambig"),
-                    F.round(F.col("p_s") * F.col("p_g") * AMBIG_ITER_SCALE * total, 6),
+                F.least(
+                    F.col("occurrence").cast("double"),
+                    F.greatest(
+                        F.col("ambig"),
+                        F.round(
+                            F.col("p_s") * F.col("p_g") * AMBIG_ITER_SCALE * total, 6
+                        ),
+                    ),
                 ),
             )
             .select("name", "occurrence", "ambig", "surname", "givenname")

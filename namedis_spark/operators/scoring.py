@@ -64,16 +64,20 @@ class ScoringParams:
     error_tolerance: float = 0.05
     same_mn_odds_thres: float = 1.0
     plain_min_shared: int = 2  # mergeSharingCoauthor >= 2 shared
-    # stage-2 combination weights (north-star channels)
-    w_content: float = 0.5
+    # stage-2 combination weights (north-star channels). jw is kept as a
+    # channel (north star) but deliberately light: within a block every
+    # conversation shares the focus name modulo surface variants, so
+    # within-block jw is near-constant and non-discriminative — weighting
+    # it like evidence admits coincidence edges.
+    w_content: float = 0.6
     w_taxonomy: float = 0.3
-    w_jw: float = 0.2
+    w_jw: float = 0.1
     venue_boost_floor: float = 0.6
     venue_boost_cap: float = 1.5
     coauthor_boost_cap: float = 2.0
     # evidence gate: shared idf mass must reach log(overestimated ambiguity)
     ic_gate_scale: float = 1.0
-    threshold: float = 0.6
+    threshold: float = 0.65
 
 
 SCORE_SCHEMA = T.StructType(
@@ -135,14 +139,34 @@ def score_one_pair(
     # ---- stage 1: coauthor-evidence merge predicates -------------------
     mergeable = False
     reason = None
+    keep = None
+    if is_ambiguous:
+        cnt_thres, amb_thres = evidence_thresholds(
+            focus, params.error_tolerance, ambig, cn_counts, ambig_sum_total
+        )
+
+        def keep(c: str) -> bool:
+            if c not in cn_counts:
+                return True
+            return cn_counts[c] <= cnt_thres and overestimate_ambig(c, ambig) <= amb_thres
+
     if not is_ambiguous:
         # western focus name: >= 2 shared coauthors merge
         # (mergeSharingCoauthor, NLPUtil.pm:3904-3941)
         if len(shared) >= params.plain_min_shared:
             mergeable, reason = True, "shared>=2"
     elif shared:
-        if len(shared) == len(co1) or len(shared) == len(co2):
-            # subset rule (NLPUtil.pm:4231-4238)
+        # subset rule (NLPUtil.pm:4231-4238), hardened: tested on the
+        # strong-evidence-filtered vectors (the reference's pre-CSLR hub
+        # filter, NLPUtil.pm:4207-4217) with NO small-set fallback — a
+        # subset consisting solely of hub coauthors is weak evidence, and
+        # the raw-vector rule over-merges exactly in hub-dense hot blocks.
+        s1 = {c: f for c, f in co1.items() if keep(c)}
+        s2 = {c: f for c, f in co2.items() if keep(c)}
+        shared_strong = [c for c in s1 if c in s2]
+        if shared_strong and (
+            len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
+        ):
             mergeable, reason = True, "subset"
         else:
             errors = {
@@ -156,15 +180,6 @@ def score_one_pair(
     if not mergeable and is_ambiguous and shared:
         # CSLR odds on strong-evidence-filtered coauthor vectors
         # (NLPUtil.pm:4259-4297; filter :4207-4217)
-        cnt_thres, amb_thres = evidence_thresholds(
-            focus, params.error_tolerance, ambig, cn_counts, ambig_sum_total
-        )
-
-        def keep(c: str) -> bool:
-            if c not in cn_counts:
-                return True
-            return cn_counts[c] <= cnt_thres and overestimate_ambig(c, ambig) <= amb_thres
-
         k1 = {c: f for c, f in co1.items() if keep(c)}
         k2 = {c: f for c, f in co2.items() if keep(c)}
         if len(k1) <= 2:
@@ -340,6 +355,330 @@ def score_pairs(
             yield out
 
     return pairs_with_features.mapInPandas(scorer, schema=out_schema)
+
+
+PREP_SCHEMA = T.StructType(
+    [
+        T.StructField("block_key", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("focus_name", T.StringType()),
+        T.StructField("focus_raw", T.StringType()),
+        T.StructField("co_k", T.ArrayType(T.StringType())),
+        T.StructField("co_f", T.ArrayType(T.DoubleType())),
+        T.StructField("tool_k", T.ArrayType(T.StringType())),
+        T.StructField("tool_f", T.ArrayType(T.DoubleType())),
+        T.StructField("t_ids", T.ArrayType(T.LongType())),
+        T.StructField("t_w", T.ArrayType(T.DoubleType())),
+        T.StructField("t_idf", T.ArrayType(T.DoubleType())),
+        T.StructField("t_norm", T.DoubleType()),
+        T.StructField("cat", T.ArrayType(T.DoubleType())),
+        T.StructField("cat_norm", T.DoubleType()),
+        T.StructField("year_from", T.IntegerType()),
+        T.StructField("year_to", T.IntegerType()),
+    ]
+)
+
+_N_CATS = 40
+
+
+def _term_id(term: str) -> int:
+    """Deterministic 63-bit term id (stable across processes, unlike
+    builtin hash). Collision odds over a corpus vocabulary are ~|V|²/2⁶³."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big") >> 1
+
+
+def prepare_scoring(
+    spark: SparkSession, features: DataFrame, side: SideTables
+) -> DataFrame:
+    """One Arrow-batched pass over the *conversation* table producing the
+    lean numeric scoring representation. Every per-conversation transform
+    the pairwise scorer needs (coauthor/tool frequency maps, idf-weighted
+    term vectors as sorted id/weight arrays + norm, dense taxonomy-category
+    vectors) is computed once per conversation here instead of once per
+    candidate pair (a conversation participates in ~tens of pairs), and the
+    fat string maps never ride the pair shuffle."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast({"idf": side.idf, "cat_ic": side.cat_ic})
+
+    def prep(batches):
+        sv = bc.value
+        idf = sv["idf"]
+        cat_ic = sv["cat_ic"]
+        cat_idx_cache: dict[str, int] = {}
+
+        def cat_idx(t: str) -> int:
+            ci = cat_idx_cache.get(t)
+            if ci is None:
+                c = category_of(t)
+                ci = -1 if c is None else int(c[4:])
+                cat_idx_cache[t] = ci
+            return ci
+
+        tid_cache: dict[str, int] = {}
+
+        def tid(t: str) -> int:
+            i = tid_cache.get(t)
+            if i is None:
+                i = _term_id(t)
+                tid_cache[t] = i
+            return i
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = {
+                "block_key": pdf["block_key"],
+                "conv_id": pdf["conv_id"],
+                "focus_name": pdf["focus_name"],
+                "focus_raw": pdf["focus_raw"],
+            }
+            co_k, co_f, tool_k, tool_f = [], [], [], []
+            t_ids, t_w, t_idf, t_norm = [], [], [], []
+            cats, cat_norms = [], []
+            for co, tools, venue, tf in zip(
+                pdf["coauthors"], pdf["tool_freq"], pdf["venue"], pdf["term_freq"]
+            ):
+                cm = _freq_map(co)
+                co_k.append(list(cm.keys()))
+                co_f.append([float(v) for v in cm.values()])
+                td = _as_dict(tools) or {venue: 1}
+                tool_k.append(list(td.keys()))
+                tool_f.append([float(v) for v in td.values()])
+                tfd = _as_dict(tf)
+                ids = np.fromiter((tid(t) for t in tfd), dtype=np.int64, count=len(tfd))
+                order = np.argsort(ids, kind="stable")
+                w = np.fromiter(
+                    (f * idf.get(t, 0.0) for t, f in tfd.items()),
+                    dtype=np.float64,
+                    count=len(tfd),
+                )
+                iv = np.fromiter(
+                    (idf.get(t, 0.0) for t in tfd), dtype=np.float64, count=len(tfd)
+                )
+                t_ids.append(ids[order])
+                t_w.append(w[order])
+                t_idf.append(iv[order])
+                t_norm.append(float(math.sqrt(float(np.dot(w, w)))))
+                cv = np.zeros(_N_CATS)
+                for t, f in tfd.items():
+                    ci = cat_idx(t)
+                    if ci >= 0:
+                        cv[ci] += f * cat_ic.get(f"cat_{ci:02d}", 0.0)
+                cats.append(cv)
+                cat_norms.append(float(math.sqrt(float(np.dot(cv, cv)))))
+            out.update(
+                co_k=co_k, co_f=co_f, tool_k=tool_k, tool_f=tool_f,
+                t_ids=t_ids, t_w=t_w, t_idf=t_idf, t_norm=t_norm,
+                cat=cats, cat_norm=cat_norms,
+                year_from=pdf["year_from"], year_to=pdf["year_to"],
+            )
+            yield pd.DataFrame(out)
+
+    cols = [
+        "block_key", "conv_id", "focus_name", "focus_raw", "coauthors",
+        "tool_freq", "venue", "term_freq", "year_from", "year_to",
+    ]
+    return features.select(*cols).mapInPandas(prep, schema=PREP_SCHEMA)
+
+
+def score_pairs_fast(
+    spark: SparkSession,
+    pairs_with_prep: DataFrame,
+    side: SideTables,
+    params: ScoringParams | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scoring over pairs carrying *prepared* feature structs (f1, f2 from
+    ``prepare_scoring``). Semantically identical to mapping
+    ``score_one_pair`` (the unit-test oracle) over the raw structs; the
+    cosine/ic channels run on presorted numeric arrays and all
+    per-conversation state is memoized per Arrow batch.
+
+    The input is hash-repartitioned on the pair key to ``partitions``
+    (default 3x defaultParallelism): the stage's cost is Python CPU, so
+    partitioning must track cores — AQE's byte-based coalescing would
+    under-parallelize it (and hot blocks would skew it).
+    """
+    import numpy as np
+
+    params = params or ScoringParams()
+    bc = spark.sparkContext.broadcast(
+        {
+            "ambig": side.ambig,
+            "cn_counts": side.cn_counts,
+            "ambig_sum_total": side.ambig_sum_total,
+            "tool_simi_map": side.tool_simi_map,
+            "params": params,
+        }
+    )
+
+    in_schema = pairs_with_prep.schema
+    # the fat prepared structs are scoring *inputs* only — never Arrow-ship
+    # them back out of the Python worker
+    pass_cols = [f.name for f in in_schema.fields if f.name not in ("f1", "f2")]
+    out_schema = T.StructType(
+        [f for f in in_schema.fields if f.name in pass_cols] + list(SCORE_SCHEMA.fields)
+    )
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 3
+    pairs_with_prep = pairs_with_prep.repartition(partitions, "conv_id1", "conv_id2")
+
+    def scorer(batches):
+        sv = bc.value
+        p: ScoringParams = sv["params"]
+        ambig = sv["ambig"]
+        cn_counts = sv["cn_counts"]
+        ambig_sum_total = sv["ambig_sum_total"]
+        expander = (
+            make_tool_expander(sv["tool_simi_map"]) if sv["tool_simi_map"] else None
+        )
+        conv_memo: dict[str, tuple] = {}
+        jw_memo: dict[tuple[str, str], float] = {}
+
+        def conv_state(cid: str, f: dict) -> tuple:
+            st = conv_memo.get(cid)
+            if st is None:
+                co = dict(zip(f["co_k"], f["co_f"]))
+                tools = dict(zip(f["tool_k"], f["tool_f"]))
+                st = (
+                    co,
+                    tools,
+                    np.asarray(f["t_ids"], dtype=np.int64),
+                    np.asarray(f["t_w"], dtype=np.float64),
+                    np.asarray(f["t_idf"], dtype=np.float64),
+                    float(f["t_norm"]),
+                    np.asarray(f["cat"], dtype=np.float64),
+                    float(f["cat_norm"]),
+                )
+                conv_memo[cid] = st
+            return st
+
+        def score(cid1, cid2, f1, f2) -> dict:
+            focus = f1["focus_name"]
+            co1, tools1, ids1, w1, idf1, n1, cat1, cn1 = conv_state(cid1, f1)
+            co2, tools2, ids2, w2, idf2, n2, cat2, cn2 = conv_state(cid2, f2)
+            shared = [c for c in co1 if c in co2]
+            is_ambiguous = focus in ambig
+
+            # ---- stage 1 (identical logic to score_one_pair) -----------
+            mergeable = False
+            reason = None
+            keep = None
+            if is_ambiguous:
+                cnt_thres, amb_thres = evidence_thresholds(
+                    focus, p.error_tolerance, ambig, cn_counts, ambig_sum_total
+                )
+
+                def keep(c: str) -> bool:
+                    if c not in cn_counts:
+                        return True
+                    return (
+                        cn_counts[c] <= cnt_thres
+                        and overestimate_ambig(c, ambig) <= amb_thres
+                    )
+
+            if not is_ambiguous:
+                if len(shared) >= p.plain_min_shared:
+                    mergeable, reason = True, "shared>=2"
+            elif shared:
+                s1 = {c: f for c, f in co1.items() if keep(c)}
+                s2 = {c: f for c, f in co2.items() if keep(c)}
+                shared_strong = [c for c in s1 if c in s2]
+                if shared_strong and (
+                    len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
+                ):
+                    mergeable, reason = True, "subset"
+                else:
+                    err = min(
+                        coauthor_evidence_error(
+                            focus, c, ambig, cn_counts, ambig_sum_total
+                        )
+                        for c in shared
+                    )
+                    if err <= p.error_tolerance:
+                        mergeable, reason = True, "evidence-error"
+
+            cslr_co = 0.0
+            if not mergeable and is_ambiguous and shared:
+                k1 = {c: f for c, f in co1.items() if keep(c)}
+                k2 = {c: f for c, f in co2.items() if keep(c)}
+                if len(k1) <= 2:
+                    k1 = co1
+                if len(k2) <= 2:
+                    k2 = co2
+                if len(k1) > 1 and len(k2) > 1:
+                    _, cslr_co = cslr_v2(k1, k2, min_odds=0.0, max_counted_freq=4)
+                    if cslr_co >= p.same_mn_odds_thres:
+                        mergeable, reason = True, "cslr-odds"
+            elif shared:
+                _, cslr_co = cslr_v2(co1, co2, min_odds=0.0, max_counted_freq=4)
+
+            # ---- stage 2 channels --------------------------------------
+            _, cslr_tool_plain = cslr_v2(tools1, tools2, min_odds=0.0, max_counted_freq=4)
+            cslr_tool = cslr_tool_plain
+            if expander is not None:
+                _, cslr_tool_exp = cslr_v2(
+                    tools1, tools2, outcome_expander=expander,
+                    min_odds=0.0, max_counted_freq=4,
+                )
+                cslr_tool = max(cslr_tool_plain, cslr_tool_exp)
+
+            r1 = f1["focus_raw"] or focus
+            r2 = f2["focus_raw"] or focus
+            jw = jw_memo.get((r1, r2))
+            if jw is None:
+                jw = jaro_winkler(r1, r2)
+                jw_memo[(r1, r2)] = jw
+
+            _, i1, i2 = np.intersect1d(
+                ids1, ids2, assume_unique=True, return_indices=True
+            )
+            dot = float(np.dot(w1[i1], w2[i2]))
+            content = dot / (n1 * n2) if dot != 0.0 else 0.0
+            ic_sum = float(idf1[i1].sum())
+
+            cdot = float(np.dot(cat1, cat2))
+            taxonomy = cdot / (cn1 * cn2) if cdot != 0.0 else 0.0
+
+            ydisc = year_diff_discount(
+                year_range_diff(
+                    f1["year_from"], f1["year_to"], f2["year_from"], f2["year_to"]
+                )
+            )
+            boost = min(
+                shared_coauthor_boost(focus, shared, ambig, cn_counts, ambig_sum_total),
+                p.coauthor_boost_cap,
+            )
+            gate = ic_sum >= p.ic_gate_scale * math.log(
+                max(overestimate_ambig(focus, ambig), math.e)
+            )
+            venue_boost = min(max(cslr_tool, p.venue_boost_floor), p.venue_boost_cap)
+            base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
+            score_val = base * venue_boost * boost * ydisc if gate else 0.0
+            return (
+                bool(mergeable), reason, float(cslr_co), float(cslr_tool),
+                float(jw), float(content), float(taxonomy), float(ydisc),
+                float(boost), ic_sum, bool(gate), float(score_val),
+            )
+
+        score_names = [f.name for f in SCORE_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            results = [
+                score(c1, c2, f1, f2)
+                for c1, c2, f1, f2 in zip(
+                    pdf["conv_id1"], pdf["conv_id2"], pdf["f1"], pdf["f2"]
+                )
+            ]
+            res = pd.DataFrame(results, columns=score_names)
+            yield pd.concat([pdf[pass_cols].reset_index(drop=True), res], axis=1)
+
+    return pairs_with_prep.mapInPandas(scorer, schema=out_schema)
 
 
 def edges_above_threshold(scored: DataFrame, params: ScoringParams | None = None) -> DataFrame:

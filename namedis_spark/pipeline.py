@@ -21,9 +21,9 @@ from namedis_spark.operators.evaluate import macro_micro, pairwise_prf
 from namedis_spark.operators.features import conversation_features
 from namedis_spark.operators.scoring import (
     ScoringParams,
-    collect_side_tables,
     edges_above_threshold,
-    score_pairs,
+    prepare_scoring,
+    score_pairs_fast,
 )
 from namedis_spark.sources.checkpoint import CheckpointStore
 
@@ -97,11 +97,10 @@ def run(
         scored = store.read_round("scored", store.latest_round("scored"))
     else:
         pairs = candidate_pairs(features)
-        scored = score_pairs(spark, attach_features(pairs, features), side, params)
+        prep = prepare_scoring(spark, features, side)
+        scored = score_pairs_fast(spark, attach_features(pairs, prep), side, params)
         scored = store.write_round(
-            "scored", 0,
-            scored.drop("f1", "f2"),
-            lineage={"op": "blocking+scoring"},
+            "scored", 0, scored, lineage={"op": "blocking+scoring"}
         )
 
     # -- clustering (per-round snapshots inside) --------------------------
@@ -115,6 +114,8 @@ def run(
     if labels is not None:
         prf = pairwise_prf(assignments, labels)
         metrics = macro_micro(prf)
+
+    store.flush()  # join async lineage/metrics writes
 
     return PipelineResult(
         features=features, scored_pairs=scored, assignments=assignments, metrics=metrics

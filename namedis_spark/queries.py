@@ -1067,15 +1067,18 @@ def tfidf_cosine_pairs(spark, sf_dir):
     sp AS (SELECT surname, sum(ambig) / (SELECT total FROM tot) AS p_s FROM a0 GROUP BY 1),
     gp AS (SELECT givenname, sum(ambig) / (SELECT total FROM tot) AS p_g FROM a0 GROUP BY 1)
     SELECT a0.name, a0.occurrence,
-           round(greatest(a0.ambig,
-                          round(sp.p_s * gp.p_g * 1.22 * (SELECT total FROM tot), 6)), 6) AS ambig
+           round(least(CAST(a0.occurrence AS double),
+                       greatest(a0.ambig,
+                                round(sp.p_s * gp.p_g * 1.22
+                                      * (SELECT total FROM tot), 6))), 6) AS ambig
     FROM a0 JOIN sp USING (surname) JOIN gp USING (givenname)
     """,
 )
 def key_ambiguity_q(spark, sf_dir):
-    """name-ambiguity fixed point (cnambig.pl:452-782) — at this scale the
-    absolute-convergence test (Σ|Δ| < 500) stops after one update, which the
-    oracle replays exactly."""
+    """name-ambiguity fixed point (cnambig.pl:452-782) with the
+    occurrence cap (a name observed k times denotes <= k persons; see
+    corpus.key_ambiguity) — at this scale the absolute-convergence test
+    (Σ|Δ| < 500) stops after one update, which the oracle replays exactly."""
     from namedis_spark.operators.corpus import key_ambiguity
 
     return key_ambiguity(_features(spark, sf_dir))

