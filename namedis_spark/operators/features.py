@@ -44,13 +44,6 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
             F.min_by("role", "turn_idx").alias("focus_raw"),
             F.collect_set("norm_role").alias("all_roles"),
             F.collect_list("tool").alias("tools_arr"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                    lambda s: s["text"],
-                ),
-                " ",
-            ).alias("full_text"),
             F.year(F.min("ts")).alias("year_from"),
             F.year(F.max("ts")).alias("year_to"),
             F.count(F.lit(1)).alias("n_turns"),
@@ -81,24 +74,27 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         .drop("all_roles")
     )
 
-    # term_freq: content tokens (stopword-filtered, lemmatized) of the
-    # ordered full text → frequency map. The terms array is materialized
-    # once per row (re-evaluating the tokenizer expression inside the
-    # counting lambda would be O(distinct × tokens × tokenize-cost)), then
-    # counted against a sorted copy — single-pass, JVM-side, no shuffle.
-    feats = (
-        feats.withColumn("_terms", F.expr(content_terms_expr("full_text", "spark")))
-        .withColumn(
-            "term_freq",
-            F.expr(
-                """map_from_arrays(
-                       array_sort(array_distinct(_terms)),
-                       transform(array_sort(array_distinct(_terms)),
-                                 t -> cast(size(filter(_terms, x -> x = t)) as int))
-                   )"""
-            ),
+    # term_freq: content tokens (stopword-filtered, lemmatized) → frequency
+    # map, via explode → hash-aggregate → map_from_entries. Token multiset
+    # of the per-turn texts equals that of the turn-ordered concatenation
+    # (the tokenizer splits on non-alphanumerics), so no full-text concat is
+    # needed. The hash aggregate is whole-stage-codegen'd and map-side
+    # combinable — unlike a per-row counting lambda, which is
+    # O(distinct × tokens) per conversation and memory-bandwidth-bound.
+    tf = (
+        exploded_terms(t)
+        .groupBy("conv_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("term", F.col("freq").cast("int")))
+                )
+            ).alias("term_freq")
         )
-        .drop("full_text", "_terms")
+    )
+    feats = feats.join(tf, "conv_id", "left").withColumn(
+        "term_freq",
+        F.coalesce(F.col("term_freq"), F.expr("map()").cast("map<string,int>")),
     )
 
     # tool_freq: per-conversation tool usage counts (the reference's

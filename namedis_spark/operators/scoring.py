@@ -536,17 +536,59 @@ def score_pairs_fast(
         expander = (
             make_tool_expander(sv["tool_simi_map"]) if sv["tool_simi_map"] else None
         )
+        # Per-batch memo tables — every quantity below depends only on a
+        # conversation, a focus name, or a (focus, coauthor) pair, never on
+        # the pair itself, so each is computed once per Arrow batch instead
+        # of once per candidate pair.
         conv_memo: dict[str, tuple] = {}
         jw_memo: dict[tuple[str, str], float] = {}
+        focus_memo: dict[str, tuple] = {}
+        err_memo: dict[tuple[str, str], float] = {}
+        tool_cslr_memo: dict[tuple, float] = {}
+
+        def focus_state(focus: str) -> tuple:
+            st = focus_memo.get(focus)
+            if st is None:
+                is_amb = focus in ambig
+                if is_amb:
+                    cnt_thres, amb_thres = evidence_thresholds(
+                        focus, p.error_tolerance, ambig, cn_counts, ambig_sum_total
+                    )
+                else:
+                    cnt_thres = amb_thres = 0.0
+                gate_thres = p.ic_gate_scale * math.log(
+                    max(overestimate_ambig(focus, ambig), math.e)
+                )
+                st = (is_amb, cnt_thres, amb_thres, gate_thres)
+                focus_memo[focus] = st
+            return st
 
         def conv_state(cid: str, f: dict) -> tuple:
             st = conv_memo.get(cid)
             if st is None:
                 co = dict(zip(f["co_k"], f["co_f"]))
                 tools = dict(zip(f["tool_k"], f["tool_f"]))
+                is_amb, cnt_thres, amb_thres, _ = focus_state(f["focus_name"])
+                if is_amb:
+                    # strong-evidence filter (NLPUtil.pm:4207-4217) is a
+                    # function of the conversation alone (its block's focus
+                    # thresholds are fixed) — precompute per conversation
+                    strong = {
+                        c: v
+                        for c, v in co.items()
+                        if c not in cn_counts
+                        or (
+                            cn_counts[c] <= cnt_thres
+                            and overestimate_ambig(c, ambig) <= amb_thres
+                        )
+                    }
+                else:
+                    strong = co
                 st = (
                     co,
+                    strong,
                     tools,
+                    tuple(sorted(tools.items())),
                     np.asarray(f["t_ids"], dtype=np.int64),
                     np.asarray(f["t_w"], dtype=np.float64),
                     np.asarray(f["t_idf"], dtype=np.float64),
@@ -557,59 +599,41 @@ def score_pairs_fast(
                 conv_memo[cid] = st
             return st
 
-        def score(cid1, cid2, f1, f2) -> dict:
+        def pair_error(focus: str, c: str) -> float:
+            e = err_memo.get((focus, c))
+            if e is None:
+                e = coauthor_evidence_error(focus, c, ambig, cn_counts, ambig_sum_total)
+                err_memo[(focus, c)] = e
+            return e
+
+        def score(cid1, cid2, f1, f2) -> tuple:
             focus = f1["focus_name"]
-            co1, tools1, ids1, w1, idf1, n1, cat1, cn1 = conv_state(cid1, f1)
-            co2, tools2, ids2, w2, idf2, n2, cat2, cn2 = conv_state(cid2, f2)
+            co1, s1, tools1, tk1, ids1, w1, idf1, n1, cat1, cn1 = conv_state(cid1, f1)
+            co2, s2, tools2, tk2, ids2, w2, idf2, n2, cat2, cn2 = conv_state(cid2, f2)
             shared = [c for c in co1 if c in co2]
-            is_ambiguous = focus in ambig
+            is_ambiguous, cnt_thres, amb_thres, gate_thres = focus_state(focus)
 
             # ---- stage 1 (identical logic to score_one_pair) -----------
             mergeable = False
             reason = None
-            keep = None
-            if is_ambiguous:
-                cnt_thres, amb_thres = evidence_thresholds(
-                    focus, p.error_tolerance, ambig, cn_counts, ambig_sum_total
-                )
-
-                def keep(c: str) -> bool:
-                    if c not in cn_counts:
-                        return True
-                    return (
-                        cn_counts[c] <= cnt_thres
-                        and overestimate_ambig(c, ambig) <= amb_thres
-                    )
-
             if not is_ambiguous:
                 if len(shared) >= p.plain_min_shared:
                     mergeable, reason = True, "shared>=2"
             elif shared:
-                s1 = {c: f for c, f in co1.items() if keep(c)}
-                s2 = {c: f for c, f in co2.items() if keep(c)}
                 shared_strong = [c for c in s1 if c in s2]
                 if shared_strong and (
                     len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
                 ):
                     mergeable, reason = True, "subset"
                 else:
-                    err = min(
-                        coauthor_evidence_error(
-                            focus, c, ambig, cn_counts, ambig_sum_total
-                        )
-                        for c in shared
-                    )
+                    err = min(pair_error(focus, c) for c in shared)
                     if err <= p.error_tolerance:
                         mergeable, reason = True, "evidence-error"
 
             cslr_co = 0.0
             if not mergeable and is_ambiguous and shared:
-                k1 = {c: f for c, f in co1.items() if keep(c)}
-                k2 = {c: f for c, f in co2.items() if keep(c)}
-                if len(k1) <= 2:
-                    k1 = co1
-                if len(k2) <= 2:
-                    k2 = co2
+                k1 = s1 if len(s1) > 2 else co1
+                k2 = s2 if len(s2) > 2 else co2
                 if len(k1) > 1 and len(k2) > 1:
                     _, cslr_co = cslr_v2(k1, k2, min_odds=0.0, max_counted_freq=4)
                     if cslr_co >= p.same_mn_odds_thres:
@@ -618,14 +642,20 @@ def score_pairs_fast(
                 _, cslr_co = cslr_v2(co1, co2, min_odds=0.0, max_counted_freq=4)
 
             # ---- stage 2 channels --------------------------------------
-            _, cslr_tool_plain = cslr_v2(tools1, tools2, min_odds=0.0, max_counted_freq=4)
-            cslr_tool = cslr_tool_plain
-            if expander is not None:
-                _, cslr_tool_exp = cslr_v2(
-                    tools1, tools2, outcome_expander=expander,
-                    min_odds=0.0, max_counted_freq=4,
-                )
-                cslr_tool = max(cslr_tool_plain, cslr_tool_exp)
+            # tool vectors are tiny (handful of tools) and repeat heavily
+            # across pairs — memoize by the ordered (vector, vector) key
+            # (ordered because cslr_v2's multinomial-side tie-break depends
+            # on argument order, NLPUtil.pm:3501-3513)
+            cslr_tool = tool_cslr_memo.get((tk1, tk2))
+            if cslr_tool is None:
+                _, cslr_tool = cslr_v2(tools1, tools2, min_odds=0.0, max_counted_freq=4)
+                if expander is not None:
+                    _, cslr_tool_exp = cslr_v2(
+                        tools1, tools2, outcome_expander=expander,
+                        min_odds=0.0, max_counted_freq=4,
+                    )
+                    cslr_tool = max(cslr_tool, cslr_tool_exp)
+                tool_cslr_memo[(tk1, tk2)] = cslr_tool
 
             r1 = f1["focus_raw"] or focus
             r2 = f2["focus_raw"] or focus
@@ -679,6 +709,244 @@ def score_pairs_fast(
             yield pd.concat([pdf[pass_cols].reset_index(drop=True), res], axis=1)
 
     return pairs_with_prep.mapInPandas(scorer, schema=out_schema)
+
+
+def score_pairs_grouped(
+    spark: SparkSession,
+    pairs: DataFrame,
+    prep: DataFrame,
+    side: SideTables,
+    params: ScoringParams | None = None,
+    target_pairs_per_group: int = 25_000,
+    max_salts: int = 256,
+) -> DataFrame:
+    """Cogrouped scorer: pairs and prepared features are cogrouped on
+    (block_key, salt) and scored with ``applyInPandas``.
+
+    Why not the equi-join + struct shipment of ``score_pairs_fast``: a
+    conversation participates in ~tens of candidate pairs, so joining its
+    feature struct onto every pair Arrow-ships (and converts to Python
+    dicts) each conversation's vectors once PER PAIR — measured ~3x the
+    actual scoring compute. Here each conversation's features cross the
+    shuffle once per salt group and are decoded columnar, once per group.
+
+    Salting: a block's pair list is hashed into ``n_salts(block) =
+    ceil(pairs/target)`` buckets and the block's (small) feature set is
+    replicated per bucket — the hot-block O(n²) workload spreads over many
+    tasks while cold blocks ship exactly one copy (the 'wei wang' skew
+    duty, SURVEY.md §4)."""
+    import numpy as np
+
+    params = params or ScoringParams()
+    bc = spark.sparkContext.broadcast(
+        {
+            "ambig": side.ambig,
+            "cn_counts": side.cn_counts,
+            "ambig_sum_total": side.ambig_sum_total,
+            "tool_simi_map": side.tool_simi_map,
+            "params": params,
+        }
+    )
+
+    counts = pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_pairs"))
+    counts = counts.select(
+        "block_key",
+        F.least(
+            F.lit(max_salts),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_pairs") / F.lit(target_pairs_per_group))
+            ),
+        )
+        .cast("int")
+        .alias("n_salts"),
+    )
+    p2 = (
+        pairs.join(F.broadcast(counts), "block_key")
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("conv_id1", "conv_id2"), F.col("n_salts")).cast("int"),
+        )
+        .drop("n_salts")
+    )
+    pr2 = (
+        prep.join(F.broadcast(counts), "block_key")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)))
+        .withColumn("salt", F.col("salt").cast("int"))
+        .drop("n_salts")
+    )
+
+    pair_cols = [c for c in pairs.columns]
+    out_schema = T.StructType(
+        [f for f in pairs.schema.fields] + list(SCORE_SCHEMA.fields)
+    )
+    score_names = [f.name for f in SCORE_SCHEMA.fields]
+
+    def fn(pairs_pdf: pd.DataFrame, prep_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pairs_pdf) == 0:
+            return pd.DataFrame(columns=pair_cols + score_names)
+        sv = bc.value
+        p: ScoringParams = sv["params"]
+        ambig = sv["ambig"]
+        cn_counts = sv["cn_counts"]
+        ambig_sum_total = sv["ambig_sum_total"]
+        expander = (
+            make_tool_expander(sv["tool_simi_map"]) if sv["tool_simi_map"] else None
+        )
+
+        focus_memo: dict[str, tuple] = {}
+        jw_memo: dict[tuple[str, str], float] = {}
+        err_memo: dict[tuple[str, str], float] = {}
+        tool_cslr_memo: dict[tuple, float] = {}
+
+        def focus_state(focus: str) -> tuple:
+            st = focus_memo.get(focus)
+            if st is None:
+                is_amb = focus in ambig
+                if is_amb:
+                    cnt_thres, amb_thres = evidence_thresholds(
+                        focus, p.error_tolerance, ambig, cn_counts, ambig_sum_total
+                    )
+                else:
+                    cnt_thres = amb_thres = 0.0
+                gate_thres = p.ic_gate_scale * math.log(
+                    max(overestimate_ambig(focus, ambig), math.e)
+                )
+                st = (is_amb, cnt_thres, amb_thres, gate_thres)
+                focus_memo[focus] = st
+            return st
+
+        # decode the group's conversations ONCE, columnar
+        conv: dict[str, tuple] = {}
+        for (cid, focus, raw, co_k, co_f, tool_k, tool_f,
+             t_ids, t_w, t_idf, t_norm, cat, cat_norm, yf, yt) in zip(
+            prep_pdf["conv_id"], prep_pdf["focus_name"], prep_pdf["focus_raw"],
+            prep_pdf["co_k"], prep_pdf["co_f"], prep_pdf["tool_k"], prep_pdf["tool_f"],
+            prep_pdf["t_ids"], prep_pdf["t_w"], prep_pdf["t_idf"], prep_pdf["t_norm"],
+            prep_pdf["cat"], prep_pdf["cat_norm"], prep_pdf["year_from"], prep_pdf["year_to"],
+        ):
+            co = dict(zip(co_k, co_f))
+            tools = dict(zip(tool_k, tool_f))
+            is_amb, cnt_thres, amb_thres, _ = focus_state(focus)
+            if is_amb:
+                strong = {
+                    c: v
+                    for c, v in co.items()
+                    if c not in cn_counts
+                    or (
+                        cn_counts[c] <= cnt_thres
+                        and overestimate_ambig(c, ambig) <= amb_thres
+                    )
+                }
+            else:
+                strong = co
+            conv[cid] = (
+                focus, raw, co, strong, tools, tuple(sorted(tools.items())),
+                np.asarray(t_ids, dtype=np.int64),
+                np.asarray(t_w, dtype=np.float64),
+                np.asarray(t_idf, dtype=np.float64),
+                float(t_norm),
+                np.asarray(cat, dtype=np.float64),
+                float(cat_norm),
+                int(yf), int(yt),
+            )
+
+        def pair_error(focus: str, c: str) -> float:
+            e = err_memo.get((focus, c))
+            if e is None:
+                e = coauthor_evidence_error(focus, c, ambig, cn_counts, ambig_sum_total)
+                err_memo[(focus, c)] = e
+            return e
+
+        results = []
+        for cid1, cid2 in zip(pairs_pdf["conv_id1"], pairs_pdf["conv_id2"]):
+            (focus, r1, co1, s1, tools1, tk1, ids1, w1, idf1, n1, cat1, cn1,
+             yf1, yt1) = conv[cid1]
+            (_, r2, co2, s2, tools2, tk2, ids2, w2, idf2, n2, cat2, cn2,
+             yf2, yt2) = conv[cid2]
+            shared = [c for c in co1 if c in co2]
+            is_ambiguous, cnt_thres, amb_thres, gate_thres = focus_state(focus)
+
+            mergeable = False
+            reason = None
+            if not is_ambiguous:
+                if len(shared) >= p.plain_min_shared:
+                    mergeable, reason = True, "shared>=2"
+            elif shared:
+                shared_strong = [c for c in s1 if c in s2]
+                if shared_strong and (
+                    len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
+                ):
+                    mergeable, reason = True, "subset"
+                else:
+                    err = min(pair_error(focus, c) for c in shared)
+                    if err <= p.error_tolerance:
+                        mergeable, reason = True, "evidence-error"
+
+            cslr_co = 0.0
+            if not mergeable and is_ambiguous and shared:
+                k1 = s1 if len(s1) > 2 else co1
+                k2 = s2 if len(s2) > 2 else co2
+                if len(k1) > 1 and len(k2) > 1:
+                    _, cslr_co = cslr_v2(k1, k2, min_odds=0.0, max_counted_freq=4)
+                    if cslr_co >= p.same_mn_odds_thres:
+                        mergeable, reason = True, "cslr-odds"
+            elif shared:
+                _, cslr_co = cslr_v2(co1, co2, min_odds=0.0, max_counted_freq=4)
+
+            cslr_tool = tool_cslr_memo.get((tk1, tk2))
+            if cslr_tool is None:
+                _, cslr_tool = cslr_v2(tools1, tools2, min_odds=0.0, max_counted_freq=4)
+                if expander is not None:
+                    _, cslr_tool_exp = cslr_v2(
+                        tools1, tools2, outcome_expander=expander,
+                        min_odds=0.0, max_counted_freq=4,
+                    )
+                    cslr_tool = max(cslr_tool, cslr_tool_exp)
+                tool_cslr_memo[(tk1, tk2)] = cslr_tool
+
+            rr1 = r1 or focus
+            rr2 = r2 or focus
+            jw = jw_memo.get((rr1, rr2))
+            if jw is None:
+                jw = jaro_winkler(rr1, rr2)
+                jw_memo[(rr1, rr2)] = jw
+
+            _, i1, i2 = np.intersect1d(
+                ids1, ids2, assume_unique=True, return_indices=True
+            )
+            dot = float(np.dot(w1[i1], w2[i2]))
+            content = dot / (n1 * n2) if dot != 0.0 else 0.0
+            ic_sum = float(idf1[i1].sum())
+
+            cdot = float(np.dot(cat1, cat2))
+            taxonomy = cdot / (cn1 * cn2) if cdot != 0.0 else 0.0
+
+            ydisc = year_diff_discount(year_range_diff(yf1, yt1, yf2, yt2))
+            boost = min(
+                shared_coauthor_boost(focus, shared, ambig, cn_counts, ambig_sum_total),
+                p.coauthor_boost_cap,
+            )
+            gate = ic_sum >= gate_thres
+            venue_boost = min(max(cslr_tool, p.venue_boost_floor), p.venue_boost_cap)
+            base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
+            score_val = base * venue_boost * boost * ydisc if gate else 0.0
+            results.append(
+                (
+                    bool(mergeable), reason, float(cslr_co), float(cslr_tool),
+                    float(jw), float(content), float(taxonomy), float(ydisc),
+                    float(boost), ic_sum, bool(gate), float(score_val),
+                )
+            )
+
+        res = pd.DataFrame(results, columns=score_names)
+        return pd.concat(
+            [pairs_pdf[pair_cols].reset_index(drop=True), res], axis=1
+        )
+
+    grouped = p2.groupBy("block_key", "salt").cogroup(pr2.groupBy("block_key", "salt"))
+    return grouped.applyInPandas(
+        lambda left, right: fn(left, right), schema=out_schema
+    )
 
 
 def edges_above_threshold(scored: DataFrame, params: ScoringParams | None = None) -> DataFrame:

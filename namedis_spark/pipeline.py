@@ -15,7 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from namedis_spark.operators import corpus
-from namedis_spark.operators.blocking import attach_features, candidate_pairs
+from namedis_spark.operators.blocking import candidate_pairs
 from namedis_spark.operators.cluster import assignments_from_edges
 from namedis_spark.operators.evaluate import macro_micro, pairwise_prf
 from namedis_spark.operators.features import conversation_features
@@ -23,7 +23,7 @@ from namedis_spark.operators.scoring import (
     ScoringParams,
     edges_above_threshold,
     prepare_scoring,
-    score_pairs_fast,
+    score_pairs_grouped,
 )
 from namedis_spark.sources.checkpoint import CheckpointStore
 
@@ -98,7 +98,7 @@ def run(
     else:
         pairs = candidate_pairs(features)
         prep = prepare_scoring(spark, features, side)
-        scored = score_pairs_fast(spark, attach_features(pairs, prep), side, params)
+        scored = score_pairs_grouped(spark, pairs, prep, side, params)
         scored = store.write_round(
             "scored", 0, scored, lineage={"op": "blocking+scoring"}
         )

@@ -1441,6 +1441,234 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.5/2.8 blocking + evidence machinery as first-class verified operators
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "blocking_candidates",
+    _DUCK_FEATURES
+    + f""",
+    ev AS (
+        SELECT f.focus_name AS block_key, r.conv_id, r.norm_role AS ev, 'c' AS kind
+        FROM roles r JOIN feats f USING (conv_id)
+        WHERE r.norm_role <> f.focus_name
+        UNION ALL
+        SELECT block_key, conv_id, ev, 't' FROM (
+            SELECT focus_name AS block_key, conv_id,
+                   unnest(list_distinct({content_terms_expr('full_text', 'duckdb')})) AS ev
+            FROM feats
+        )
+    ),
+    dfc AS (
+        SELECT block_key, ev, kind, count(*) AS df FROM ev GROUP BY 1, 2, 3
+    ),
+    ev2 AS (
+        SELECT e.* FROM ev e JOIN dfc USING (block_key, ev, kind)
+        WHERE dfc.df <= 50
+    ),
+    p AS (
+        SELECT a.block_key, a.conv_id AS conv_id1, b.conv_id AS conv_id2, a.kind
+        FROM ev2 a JOIN ev2 b USING (block_key, ev, kind)
+        WHERE a.conv_id < b.conv_id
+    )
+    SELECT block_key, conv_id1, conv_id2,
+           CAST(count(*) FILTER (WHERE kind = 'c') AS bigint) AS n_shared_coauthors,
+           CAST(count(*) FILTER (WHERE kind = 't') AS bigint) AS n_shared_terms
+    FROM p GROUP BY 1, 2, 3
+    HAVING n_shared_coauthors >= 1 OR n_shared_terms >= 1
+    """,
+)
+def blocking_candidates(spark, sf_dir):
+    """candidate-pair generation: within-block shared-coauthor /
+    shared-rare-term equi-joins with the per-evidence df<=50 skew cap — the
+    blocking stage itself (mergeSharingCoauthor's pair trigger,
+    NLPUtil.pm:3904-3941; cap ≙ TOKEN_MAX_MATCH_TERMS, ConceptNet.pm:33),
+    verified against an independent SQL replay."""
+    from namedis_spark.operators.blocking import evidence_pairs
+
+    return evidence_pairs(_features(spark, sf_dir)).select(
+        "block_key", "conv_id1", "conv_id2",
+        F.col("n_shared_coauthors").cast("bigint").alias("n_shared_coauthors"),
+        F.col("n_shared_terms").cast("bigint").alias("n_shared_terms"),
+    )
+
+
+@q(
+    "block_term_vectors",
+    _DUCK_FEATURES
+    + f""",
+    tf AS (
+        SELECT block_key, conv_id, term, count(*) AS w FROM (
+            SELECT focus_name AS block_key, conv_id,
+                   unnest({content_terms_expr('full_text', 'duckdb')}) AS term
+            FROM feats
+        ) GROUP BY 1, 2, 3
+    ),
+    bs AS (SELECT block_key, count(DISTINCT conv_id) AS sz FROM tf GROUP BY 1),
+    agg AS (
+        SELECT t.block_key, t.term,
+               sum(t.w) AS w_raw, count(*) AS c
+        FROM tf t GROUP BY 1, 2
+    )
+    SELECT block_key, term,
+           CAST(c AS bigint) AS n_convs,
+           round(w_raw / (sqrt(c) * greatest(1.0, ln(sz))), 6) AS w,
+           CAST(rk AS int) AS rk
+    FROM (
+        SELECT a.*, b.sz,
+               row_number() OVER (
+                   PARTITION BY a.block_key
+                   ORDER BY a.w_raw / (sqrt(a.c) * greatest(1.0, ln(b.sz))) DESC,
+                            a.term ASC) AS rk
+        FROM agg a JOIN bs b USING (block_key)
+    ) WHERE rk <= 20
+    """,
+)
+def block_term_vectors(spark, sf_dir):
+    """cluster-vector aggregation (titleSetToVector, ConceptNet.pm:6154-6285):
+    per-set term weights summed, scaled by 1/(sqrt(count)·max(1, log|S|))
+    (:6242-6244) and top-N pruned (KEPT_TOPN, :6181-6182,6251-6266) — block
+    as the title set, window rank as the prune."""
+    from pyspark.sql import Window
+
+    f = _features(spark, sf_dir)
+    tf = f.select("block_key", "conv_id", F.explode("term_freq").alias("term", "w"))
+    bs = tf.groupBy("block_key").agg(F.countDistinct("conv_id").alias("sz"))
+    agg = tf.groupBy("block_key", "term").agg(
+        F.sum("w").alias("w_raw"), F.count(F.lit(1)).alias("c")
+    )
+    scaled = agg.join(bs, "block_key").withColumn(
+        "w_scaled",
+        F.col("w_raw") / (F.sqrt("c") * F.greatest(F.lit(1.0), F.log("sz"))),
+    )
+    w = Window.partitionBy("block_key").orderBy(F.desc("w_scaled"), F.asc("term"))
+    return (
+        scaled.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 20)
+        .select(
+            "block_key", "term",
+            F.col("c").cast("bigint").alias("n_convs"),
+            F.round("w_scaled", 6).alias("w"),
+            "rk",
+        )
+    )
+
+
+def _duck_oe(col: str) -> str:
+    """SQL replay of overestimate_ambig (NLPUtil.pm:4072-4093)."""
+    return (
+        f"greatest(CASE WHEN {col} > 200 THEN {col} "
+        f"WHEN {col} > 50 THEN {col} * 1.5 ELSE {col} * 2.5 END, 1.0)"
+    )
+
+
+@q(
+    "coauthor_evidence_errors",
+    _DUCK_FEATURES
+    + f""",
+    hits AS (
+        SELECT DISTINCT conv_id, {norm_name_expr('role', 'duckdb')} AS name
+        FROM transcripts
+    ),
+    names AS (SELECT name, CAST(count(*) AS bigint) AS occurrence FROM hits GROUP BY 1),
+    seed AS (
+        SELECT focus_name AS name,
+               greatest(1.0, round(0.9 * count(DISTINCT venue)
+                                   - 1.3 * (CASE WHEN count(*) = 1 THEN 1.0 ELSE 0.0 END), 6))
+                   AS seed
+        FROM feats GROUP BY 1
+    ),
+    a0 AS (
+        SELECT n.name, n.occurrence, coalesce(s.seed, 1.0) AS ambig,
+               (string_split(n.name, ' '))[-1] AS surname,
+               (string_split(n.name, ' '))[1] AS givenname
+        FROM names n LEFT JOIN seed s USING (name)
+    ),
+    tot AS (SELECT sum(ambig) AS total FROM a0),
+    sp AS (SELECT surname, sum(ambig) / (SELECT total FROM tot) AS p_s FROM a0 GROUP BY 1),
+    gp AS (SELECT givenname, sum(ambig) / (SELECT total FROM tot) AS p_g FROM a0 GROUP BY 1),
+    amb AS (
+        SELECT a0.name,
+               round(least(CAST(a0.occurrence AS double),
+                           greatest(a0.ambig,
+                                    round(sp.p_s * gp.p_g * 1.22
+                                          * (SELECT total FROM tot), 6))), 6) AS ambig
+        FROM a0 JOIN sp USING (surname) JOIN gp USING (givenname)
+    ),
+    ambtot AS (SELECT greatest(1.0, sum(ambig)) AS s FROM amb),
+    cnts AS (
+        SELECT a.name, CAST(count(*) AS bigint) AS n_coauthors FROM (
+            SELECT x.name, y.name AS coauthor
+            FROM hits x JOIN hits y USING (conv_id)
+            WHERE x.name <> y.name GROUP BY 1, 2
+        ) a GROUP BY 1
+    ),
+    pairs AS (
+        SELECT DISTINCT f.focus_name, r.norm_role AS coauthor
+        FROM roles r JOIN feats f USING (conv_id)
+        WHERE r.norm_role <> f.focus_name
+    )
+    SELECT p.focus_name, p.coauthor,
+           round(CASE
+             WHEN af.ambig IS NULL OR cf.n_coauthors IS NULL OR cc.n_coauthors IS NULL
+               THEN 0.0
+             ELSE greatest(
+               (cc.n_coauthors + 1) * {_duck_oe('af.ambig')} / (SELECT s FROM ambtot) / 2,
+               (cf.n_coauthors + 1) * {_duck_oe('ac.ambig')} / (SELECT s FROM ambtot) / 2)
+           END, 6) AS error
+    FROM pairs p
+    LEFT JOIN amb af ON af.name = p.focus_name
+    LEFT JOIN amb ac ON ac.name = p.coauthor
+    LEFT JOIN cnts cf ON cf.name = p.focus_name
+    LEFT JOIN cnts cc ON cc.name = p.coauthor
+    """,
+)
+def coauthor_evidence_errors(spark, sf_dir):
+    """coauthor evidence error (coauthorEvidenceError, NLPUtil.pm:4096-4137;
+    overestimateAmbig :4072-4093): P(two records sharing coauthor c belong
+    to different persons), per (focus, coauthor) — the stage-1 merge
+    predicate's arithmetic over the corpus side tables, as a DataFrame job
+    vs full SQL replay."""
+    from namedis_spark.operators import corpus
+
+    f = _features(spark, sf_dir)
+    amb = corpus.key_ambiguity(f, rounds=1)
+    cnt = corpus.coauthor_stats(f)
+    total = max(1.0, amb.agg(F.sum("ambig")).collect()[0][0] or 0.0)
+
+    def oe(c):
+        a = F.col(c)
+        return F.greatest(
+            F.when(a > 200, a).when(a > 50, a * 1.5).otherwise(a * 2.5), F.lit(1.0)
+        )
+
+    pairs = (
+        f.select("focus_name", F.explode("coauthors").alias("coauthor"))
+        .where(F.col("coauthor") != F.col("focus_name"))
+        .distinct()
+    )
+    out = (
+        pairs.join(amb.select(F.col("name").alias("focus_name"), F.col("ambig").alias("a_f")), "focus_name", "left")
+        .join(amb.select(F.col("name").alias("coauthor"), F.col("ambig").alias("a_c")), "coauthor", "left")
+        .join(cnt.select(F.col("name").alias("focus_name"), F.col("n_coauthors").alias("c_f")), "focus_name", "left")
+        .join(cnt.select(F.col("name").alias("coauthor"), F.col("n_coauthors").alias("c_c")), "coauthor", "left")
+    )
+    e1 = (F.col("c_c") + 1) * oe("a_f") / F.lit(total) / 2
+    e2 = (F.col("c_f") + 1) * oe("a_c") / F.lit(total) / 2
+    return out.select(
+        "focus_name", "coauthor",
+        F.round(
+            F.when(
+                F.col("a_f").isNull() | F.col("c_f").isNull() | F.col("c_c").isNull(),
+                F.lit(0.0),
+            ).otherwise(F.greatest(e1, e2)),
+            6,
+        ).alias("error"),
+    )
+
+
 def entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -32,7 +32,10 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # local mode = one JVM for driver + all executor threads; size it for
+    # the box (override with SPARK_GRAFT_DRIVER_MEM). On a real cluster
+    # executors carry their own spark.executor.memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
 
 

@@ -16,6 +16,7 @@ from namedis_spark.operators.scoring import (
     prepare_scoring,
     score_pairs,
     score_pairs_fast,
+    score_pairs_grouped,
 )
 
 BOOL_COLS = ["stage1_mergeable", "gate_passed"]
@@ -40,34 +41,38 @@ def scored_both(spark):
     )
     params = ScoringParams()
     pairs = candidate_pairs(f).persist()
+    prep = prepare_scoring(spark, f, side).persist()
     slow = score_pairs(spark, attach_features(pairs, f), side, params)
-    fast = score_pairs_fast(
-        spark, attach_features(pairs, prepare_scoring(spark, f, side)), side, params
-    )
+    fast = score_pairs_fast(spark, attach_features(pairs, prep), side, params)
+    grouped = score_pairs_grouped(spark, pairs, prep, side, params,
+                                  target_pairs_per_group=200)  # force salting
     key = ["block_key", "conv_id1", "conv_id2"]
     s = {tuple(r[k] for k in key): r for r in slow.collect()}
     q = {tuple(r[k] for k in key): r for r in fast.collect()}
-    return s, q
+    g = {tuple(r[k] for k in key): r for r in grouped.collect()}
+    return s, q, g
 
 
 def test_same_pair_set(scored_both):
-    s, q = scored_both
+    s, q, g = scored_both
     assert len(s) > 200
-    assert set(s.keys()) == set(q.keys())
+    assert set(s.keys()) == set(q.keys()) == set(g.keys())
 
 
 def test_booleans_and_reasons_exact(scored_both):
-    s, q = scored_both
+    s, q, g = scored_both
     for k, rs in s.items():
-        rq = q[k]
-        for c in BOOL_COLS + STR_COLS:
-            assert rs[c] == rq[c], (k, c, rs[c], rq[c])
+        for other in (q, g):
+            ro = other[k]
+            for c in BOOL_COLS + STR_COLS:
+                assert rs[c] == ro[c], (k, c, rs[c], ro[c])
 
 
 def test_numeric_channels_close(scored_both):
-    s, q = scored_both
+    s, q, g = scored_both
     for k, rs in s.items():
-        rq = q[k]
-        for c in NUM_COLS:
-            a, b = rs[c], rq[c]
-            assert a == pytest.approx(b, rel=1e-9, abs=1e-12), (k, c, a, b)
+        for other in (q, g):
+            ro = other[k]
+            for c in NUM_COLS:
+                a, b = rs[c], ro[c]
+                assert a == pytest.approx(b, rel=1e-9, abs=1e-12), (k, c, a, b)
