@@ -201,7 +201,9 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
     # oe(name)/ambigSumTotal ≈ fraction of all persons bearing the name).
     prev_total = None
     for _ in range(rounds):
-        ambig = ambig.localCheckpoint(eager=True)
+        # lazy localCheckpoint: the total-sum action below materializes it,
+        # so each round costs one Spark job instead of two
+        ambig = ambig.localCheckpoint(eager=False)
         total = ambig.agg(F.sum("ambig")).collect()[0][0]
         if prev_total is not None and abs(total - prev_total) < AMBIG_CONVERGE_ABS:
             break

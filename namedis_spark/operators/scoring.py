@@ -717,24 +717,27 @@ def score_pairs_grouped(
     prep: DataFrame,
     side: SideTables,
     params: ScoringParams | None = None,
-    target_pairs_per_group: int = 25_000,
-    max_salts: int = 256,
+    target_pairs_per_group: int = 10_000,
+    max_buckets: int = 32,
 ) -> DataFrame:
-    """Cogrouped scorer: pairs and prepared features are cogrouped on
-    (block_key, salt) and scored with ``applyInPandas``.
+    """Cogrouped scorer: pairs and prepared features are cogrouped on a
+    salted bucket grid and scored with ``applyInPandas``.
 
     Why not the equi-join + struct shipment of ``score_pairs_fast``: a
     conversation participates in ~tens of candidate pairs, so joining its
     feature struct onto every pair Arrow-ships (and converts to Python
     dicts) each conversation's vectors once PER PAIR — measured ~3x the
-    actual scoring compute. Here each conversation's features cross the
-    shuffle once per salt group and are decoded columnar, once per group.
+    actual scoring compute.
 
-    Salting: a block's pair list is hashed into ``n_salts(block) =
-    ceil(pairs/target)`` buckets and the block's (small) feature set is
-    replicated per bucket — the hot-block O(n²) workload spreads over many
-    tasks while cold blocks ship exactly one copy (the 'wei wang' skew
-    duty, SURVEY.md §4)."""
+    Grid salting (the 'wei wang' skew duty, SURVEY.md §4): per block,
+    conversations hash into ``nb = ceil(sqrt(2·pairs/target))`` buckets;
+    a pair lands in grid cell (min(b1,b2), max(b1,b2)) and a conversation's
+    features ship to the nb cells its bucket touches. A hot block's O(n²)
+    pair workload spreads over nb(nb+1)/2 ≈ pairs/target tasks while its
+    features replicate only nb ≈ sqrt(pairs/target) times — versus
+    pairs/target times under naive per-cell replication — and each cell
+    decodes only its two buckets' features, not the whole block. Cold
+    blocks (nb=1) ship exactly one copy."""
     import numpy as np
 
     params = params or ScoringParams()
@@ -748,31 +751,41 @@ def score_pairs_grouped(
         }
     )
 
+    # `pairs` feeds two consumers (the per-block bucket counts and the
+    # salted scoring shuffle); without a persist the whole blocking DAG —
+    # explode, df-cap join, self-join, aggregate — runs twice per action.
+    pairs = pairs.persist()
     counts = pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_pairs"))
     counts = counts.select(
         "block_key",
         F.least(
-            F.lit(max_salts),
+            F.lit(max_buckets),
             F.greatest(
-                F.lit(1), F.ceil(F.col("n_pairs") / F.lit(target_pairs_per_group))
+                F.lit(1),
+                F.ceil(
+                    F.sqrt(2.0 * F.col("n_pairs") / F.lit(target_pairs_per_group))
+                ),
             ),
         )
         .cast("int")
-        .alias("n_salts"),
+        .alias("nb"),
     )
+    b1 = F.pmod(F.xxhash64("conv_id1"), F.col("nb")).cast("int")
+    b2 = F.pmod(F.xxhash64("conv_id2"), F.col("nb")).cast("int")
     p2 = (
         pairs.join(F.broadcast(counts), "block_key")
-        .withColumn(
-            "salt",
-            F.pmod(F.xxhash64("conv_id1", "conv_id2"), F.col("n_salts")).cast("int"),
-        )
-        .drop("n_salts")
+        .withColumn("bi", F.least(b1, b2))
+        .withColumn("bj", F.greatest(b1, b2))
+        .drop("nb")
     )
+    b = F.pmod(F.xxhash64("conv_id"), F.col("nb")).cast("int")
     pr2 = (
         prep.join(F.broadcast(counts), "block_key")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)))
-        .withColumn("salt", F.col("salt").cast("int"))
-        .drop("n_salts")
+        .withColumn("b", b)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
+        .withColumn("bi", F.least(F.col("b"), F.col("j")))
+        .withColumn("bj", F.greatest(F.col("b"), F.col("j")))
+        .drop("nb", "b", "j")
     )
 
     pair_cols = [c for c in pairs.columns]
@@ -943,7 +956,9 @@ def score_pairs_grouped(
             [pairs_pdf[pair_cols].reset_index(drop=True), res], axis=1
         )
 
-    grouped = p2.groupBy("block_key", "salt").cogroup(pr2.groupBy("block_key", "salt"))
+    grouped = p2.groupBy("block_key", "bi", "bj").cogroup(
+        pr2.groupBy("block_key", "bi", "bj")
+    )
     return grouped.applyInPandas(
         lambda left, right: fn(left, right), schema=out_schema
     )

@@ -45,6 +45,19 @@ def run(
     resume: bool = False,
     ambiguity_rounds: int = 3,
 ) -> PipelineResult:
+    import os
+    import sys
+    import time
+
+    profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+    _t = time.time()
+
+    def tick(stage: str) -> None:
+        nonlocal _t
+        if profile:
+            print(f"# pipeline.{stage}: {time.time() - _t:.1f}s", file=sys.stderr)
+        _t = time.time()
+
     params = params or ScoringParams()
     store = CheckpointStore(spark, checkpoint_dir)
 
@@ -53,7 +66,11 @@ def run(
         features = store.read_round("features", store.latest_round("features"))
     else:
         features = store.write_round(
-            "features", 0, conversation_features(transcripts), lineage={"op": "features"}
+            "features",
+            0,
+            conversation_features(transcripts),
+            lineage={"op": "features"},
+            blocking=False,
         )
 
     # -- corpus side tables (EP2 analog) ----------------------------------
@@ -61,9 +78,17 @@ def run(
     # jobs from separate driver threads, so their (small-data) latencies
     # overlap instead of adding up.
     features.persist().count()
+    tick("features")
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    # Candidate-pair generation depends only on features, not on the side
+    # tables — materialize it concurrently with them (pairs is the heaviest
+    # of the six jobs, so the side-table latencies hide inside it).
+    need_scoring = not (resume and store.latest_round("scored") is not None)
+    pairs = candidate_pairs(features).persist() if need_scoring else None
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        f_pairs = ex.submit(lambda: pairs.count() if pairs is not None else 0)
         f_amb = ex.submit(
             lambda: corpus.key_ambiguity(features, rounds=ambiguity_rounds).collect()
         )
@@ -74,6 +99,7 @@ def run(
         amb_rows, co_rows, idf_rows, ts_rows, ic_rows = (
             f_amb.result(), f_co.result(), f_idf.result(), f_ts.result(), f_ic.result()
         )
+        f_pairs.result()
 
     from namedis_spark.operators.scoring import SideTables
 
@@ -91,24 +117,28 @@ def run(
     side.cat_ic = {
         r["term"]: float(r["ic"]) for r in ic_rows if r["term"].startswith("cat_")
     }
+    tick("side_tables")
 
     # -- blocking + scoring (stage snapshot) ------------------------------
-    if resume and store.latest_round("scored") is not None:
+    if not need_scoring:
         scored = store.read_round("scored", store.latest_round("scored"))
     else:
-        pairs = candidate_pairs(features)
         prep = prepare_scoring(spark, features, side)
         scored = score_pairs_grouped(spark, pairs, prep, side, params)
         scored = store.write_round(
-            "scored", 0, scored, lineage={"op": "blocking+scoring"}
+            "scored", 0, scored, lineage={"op": "blocking+scoring"}, blocking=False
         )
+    tick("blocking_scoring")
 
     # -- clustering (per-round snapshots inside) --------------------------
     edges = edges_above_threshold(scored, params)
     assignments = assignments_from_edges(
         spark, features, edges, store=store, resume=resume
     )
-    assignments = store.write_round("assignments", 0, assignments, lineage={"op": "cc"})
+    assignments = store.write_round(
+        "assignments", 0, assignments, lineage={"op": "cc"}, blocking=False
+    )
+    tick("clustering")
 
     metrics = None
     if labels is not None:
@@ -116,6 +146,7 @@ def run(
         metrics = macro_micro(prf)
 
     store.flush()  # join async lineage/metrics writes
+    tick("flush")
 
     return PipelineResult(
         features=features, scored_pairs=scored, assignments=assignments, metrics=metrics

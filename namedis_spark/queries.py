@@ -1669,6 +1669,226 @@ def coauthor_evidence_errors(spark, sf_dir):
     )
 
 
+@q(
+    "jaccard_type_pairs",
+    _DUCK_TRANSCRIPTS
+    + f""",
+    rt AS (
+        SELECT DISTINCT conv_id, {norm_name_expr('role', 'duckdb')} AS role
+        FROM transcripts
+    ),
+    sz AS (SELECT conv_id, CAST(count(*) AS bigint) AS s FROM rt GROUP BY 1),
+    blocks AS (
+        SELECT conv_id,
+               min(CASE WHEN turn_idx = 0 THEN {norm_name_expr('role', 'duckdb')} END) AS block_key
+        FROM transcripts GROUP BY conv_id
+    ),
+    inter AS (
+        SELECT a.conv_id AS conv_id1, b.conv_id AS conv_id2,
+               CAST(count(*) AS bigint) AS i
+        FROM rt a JOIN rt b ON a.role = b.role AND a.conv_id < b.conv_id
+        GROUP BY 1, 2
+    )
+    SELECT ba.block_key, ba.conv_id AS conv_id1, bb.conv_id AS conv_id2,
+           round(coalesce(i.i, 0)
+                 / CAST(sa.s + sb.s - coalesce(i.i, 0) AS double), 6) AS jaccard_type
+    FROM blocks ba
+    JOIN blocks bb ON ba.block_key = bb.block_key AND ba.conv_id < bb.conv_id
+    JOIN sz sa ON sa.conv_id = ba.conv_id
+    JOIN sz sb ON sb.conv_id = bb.conv_id
+    LEFT JOIN inter i ON i.conv_id1 = ba.conv_id AND i.conv_id2 = bb.conv_id
+    """,
+)
+def jaccard_type_pairs(spark, sf_dir):
+    """type-mode weighted Jaccard (|∩|/|∪| over role *types*; jaccard,
+    NLPUtil.pm:3172-3252 use_freq=0 branch) per within-block pair — the
+    python UDF (functions.core.weighted_jaccard) vs an independent SQL
+    set-overlap replay."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.core import weighted_jaccard
+
+    t = load_transcripts(spark, sf_dir)
+    rf = t.groupBy(
+        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
+    ).agg(F.count(F.lit(1)).cast("int").alias("f"))
+    vecs = rf.groupBy("conv_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec")
+    )
+    blocks = t.groupBy("conv_id").agg(
+        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    )
+    side = blocks.join(vecs, "conv_id")
+    a = side.select("block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1"))
+    b = side.select("block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2"))
+    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+
+    schema = T.StructType(
+        [
+            T.StructField("block_key", T.StringType()),
+            T.StructField("conv_id1", T.StringType()),
+            T.StructField("conv_id2", T.StringType()),
+            T.StructField("jaccard_type", T.DoubleType()),
+        ]
+    )
+
+    def udf(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [
+                round(weighted_jaccard(dict(v1), dict(v2), use_freq=False), 6)
+                for v1, v2 in zip(pdf["v1"], pdf["v2"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "block_key": pdf["block_key"],
+                    "conv_id1": pdf["conv_id1"],
+                    "conv_id2": pdf["conv_id2"],
+                    "jaccard_type": vals,
+                }
+            )
+
+    return pairs.mapInPandas(udf, schema=schema)
+
+
+@q(
+    "stage2_coauthor_boost",
+    _DUCK_FEATURES
+    + f""",
+    hits AS (
+        SELECT DISTINCT conv_id, {norm_name_expr('role', 'duckdb')} AS name
+        FROM transcripts
+    ),
+    names AS (SELECT name, CAST(count(*) AS bigint) AS occurrence FROM hits GROUP BY 1),
+    seed AS (
+        SELECT focus_name AS name,
+               greatest(1.0, round(0.9 * count(DISTINCT venue)
+                                   - 1.3 * (CASE WHEN count(*) = 1 THEN 1.0 ELSE 0.0 END), 6))
+                   AS seed
+        FROM feats GROUP BY 1
+    ),
+    a0 AS (
+        SELECT n.name, n.occurrence, coalesce(s.seed, 1.0) AS ambig,
+               (string_split(n.name, ' '))[-1] AS surname,
+               (string_split(n.name, ' '))[1] AS givenname
+        FROM names n LEFT JOIN seed s USING (name)
+    ),
+    tot AS (SELECT sum(ambig) AS total FROM a0),
+    sp AS (SELECT surname, sum(ambig) / (SELECT total FROM tot) AS p_s FROM a0 GROUP BY 1),
+    gp AS (SELECT givenname, sum(ambig) / (SELECT total FROM tot) AS p_g FROM a0 GROUP BY 1),
+    amb AS (
+        SELECT a0.name,
+               round(least(CAST(a0.occurrence AS double),
+                           greatest(a0.ambig,
+                                    round(sp.p_s * gp.p_g * 1.22
+                                          * (SELECT total FROM tot), 6))), 6) AS ambig
+        FROM a0 JOIN sp USING (surname) JOIN gp USING (givenname)
+    ),
+    ambtot AS (SELECT greatest(1.0, sum(ambig)) AS s FROM amb),
+    cnts AS (
+        SELECT a.name, CAST(count(*) AS bigint) AS n_coauthors FROM (
+            SELECT x.name, y.name AS coauthor
+            FROM hits x JOIN hits y USING (conv_id)
+            WHERE x.name <> y.name GROUP BY 1, 2
+        ) a GROUP BY 1
+    ),
+    co AS (
+        SELECT f.conv_id, f.focus_name AS block_key, r.norm_role AS c
+        FROM roles r JOIN feats f USING (conv_id)
+        WHERE r.norm_role <> f.focus_name
+    ),
+    shared AS (
+        SELECT a.block_key, a.conv_id AS conv_id1, b.conv_id AS conv_id2, a.c
+        FROM co a JOIN co b ON a.block_key = b.block_key AND a.c = b.c
+                           AND a.conv_id < b.conv_id
+    )
+    SELECT s.block_key, s.conv_id1, s.conv_id2,
+           round(greatest(1.0, max(least(
+               (SELECT x.s FROM ambtot x)
+                   / (coalesce(cc.n_coauthors, 0) + 1) / {_duck_oe('af.ambig')},
+               (SELECT x.s FROM ambtot x)
+                   / (coalesce(cf.n_coauthors, 0) + 1) / {_duck_oe('ac.ambig')}))), 6)
+               AS boost
+    FROM shared s
+    JOIN amb af ON af.name = s.block_key
+    JOIN amb ac ON ac.name = s.c
+    LEFT JOIN cnts cf ON cf.name = s.block_key
+    LEFT JOIN cnts cc ON cc.name = s.c
+    GROUP BY 1, 2, 3
+    """,
+)
+def stage2_coauthor_boost_q(spark, sf_dir):
+    """stage-2 shared-coauthor evidence boost (sharedCoauthorBoostStage2,
+    ConceptNet.pm:6309-6358): per within-block pair sharing >= 1 coauthor,
+    max over shared coauthors of min(S/((cnt(c)+1)·oe(focus)),
+    S/((cnt(focus)+1)·oe(c))), floored at 1 — the broadcast-dict pandas UDF
+    vs a full SQL replay (rounds=1 ambiguity, as key_ambiguity converges
+    after one update at this scale)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.core import shared_coauthor_boost
+    from namedis_spark.operators import corpus
+
+    f = _features(spark, sf_dir)
+    ambig = {
+        r["name"]: float(r["ambig"])
+        for r in corpus.key_ambiguity(f, rounds=1).collect()
+    }
+    cn = {
+        r["name"]: float(r["n_coauthors"])
+        for r in corpus.coauthor_stats(f).collect()
+    }
+    total = max(1.0, sum(ambig.values()))
+    bc = spark.sparkContext.broadcast({"ambig": ambig, "cn": cn, "total": total})
+
+    co = f.select("block_key", "conv_id", F.explode("coauthors").alias("c"))
+    a = co.select("block_key", F.col("conv_id").alias("conv_id1"), "c")
+    b = co.select("block_key", F.col("conv_id").alias("conv_id2"), "c")
+    pairs = (
+        a.join(b, ["block_key", "c"])
+        .where(F.col("conv_id1") < F.col("conv_id2"))
+        .groupBy("block_key", "conv_id1", "conv_id2")
+        .agg(F.collect_set("c").alias("shared"))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("block_key", T.StringType()),
+            T.StructField("conv_id1", T.StringType()),
+            T.StructField("conv_id2", T.StringType()),
+            T.StructField("boost", T.DoubleType()),
+        ]
+    )
+
+    def udf(batches):
+        sv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [
+                round(
+                    shared_coauthor_boost(
+                        focus, list(shared), sv["ambig"], sv["cn"], sv["total"]
+                    ),
+                    6,
+                )
+                for focus, shared in zip(pdf["block_key"], pdf["shared"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "block_key": pdf["block_key"],
+                    "conv_id1": pdf["conv_id1"],
+                    "conv_id2": pdf["conv_id2"],
+                    "boost": vals,
+                }
+            )
+
+    return pairs.mapInPandas(udf, schema=schema)
+
+
 def entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

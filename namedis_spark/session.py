@@ -27,6 +27,12 @@ _DEFAULTS = {
     # partitioning explicitly (see score_pairs_fast) because its cost is
     # Python CPU and it must also break hot-block skew.
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalescing targets bytes, but our hot stages are Arrow-batched
+    # Python scoring where CPU-per-byte is ~10-30x a JVM stage's: a 64MB
+    # partition is minutes of Python. 4MB advisory keeps those stages at
+    # task granularities that ride out stragglers; byte-light JVM shuffles
+    # still coalesce (minPartitionSize floor applies).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -37,6 +43,11 @@ _DEFAULTS = {
     # executors carry their own spark.executor.memory instead.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
+
+# extra JVM flags (e.g. -XX:ActiveProcessorCount=N from scaling_bench's
+# N-core confinement) ride through the environment
+if os.environ.get("SPARK_GRAFT_JAVA_OPTS"):
+    _DEFAULTS["spark.driver.extraJavaOptions"] = os.environ["SPARK_GRAFT_JAVA_OPTS"]
 
 
 def get_spark(

@@ -34,10 +34,11 @@ class CheckpointStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        # lineage/metrics bookkeeping runs off the critical path: each
-        # write_round schedules its (tiny) metrics job on this executor;
-        # flush() joins them. Spark job submission is thread-safe.
-        self._metrics_pool = ThreadPoolExecutor(max_workers=1)
+        # lineage/metrics bookkeeping and async snapshot writes run off the
+        # critical path: write_round schedules them on this pool; flush()
+        # joins them. Spark job submission is thread-safe; four workers keep
+        # a burst of round writes from convoying behind one another.
+        self._metrics_pool = ThreadPoolExecutor(max_workers=4)
         self._pending: list[Future] = []
 
     def flush(self) -> None:
@@ -56,35 +57,72 @@ class CheckpointStore:
         df: DataFrame,
         lineage: dict | None = None,
         stat_cols: list[str] | None = None,
+        blocking: bool = True,
     ) -> DataFrame | tuple[DataFrame, tuple[int, int]]:
         """Write round k, record per-partition lineage + metrics, return the
-        re-read (lineage-truncated) DataFrame.
+        lineage-truncated DataFrame.
 
         With ``stat_cols`` a (row_count, xor-of-xxhash64) content checksum
         is returned alongside — the CC loop's convergence signal. It is
-        collected with ``Observation`` *inside the write job itself*, so a
-        checkpointed CC round costs exactly one Spark action. The
-        per-partition lineage/metrics rows are always produced by an
-        asynchronous job (flush() joins them): bookkeeping never blocks the
-        next round. Output file count follows AQE's size-based coalescing,
-        so small rounds produce few files without capping write parallelism
-        for large ones."""
+        collected with ``Observation`` *inside the materialization job*, so a
+        checkpointed round costs exactly one Spark action. The per-partition
+        lineage/metrics rows are always produced by an asynchronous job
+        (flush() joins them): bookkeeping never blocks the next round.
+        Output file count follows AQE's size-based coalescing, so small
+        rounds produce few files without capping write parallelism for
+        large ones.
+
+        ``blocking=False`` takes the parquet write itself off the critical
+        path: the round is materialized once via ``localCheckpoint`` (one
+        Spark action, which also truncates lineage) and the snapshot file
+        write is submitted to the background pool (``flush()`` joins it).
+        Commit semantics are unchanged — a round only *exists* for resume
+        once its ``_SUCCESS`` marker lands, so a kill mid-write simply
+        re-enters one round earlier. Downstream stages read the in-memory
+        checkpointed data instead of waiting for (then re-reading) parquet.
+        """
         from pyspark.sql import Observation
 
         t0 = time.time()
         path = self._round_path(name, k)
-        obs = None
-        if stat_cols:
-            obs = Observation(f"{name}-r{k}")
-            df = df.observe(
-                obs,
+        stats: tuple[int, int] | None = None
+        stat_aggs = (
+            [
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(
                     F.expr(f"bit_xor(xxhash64({', '.join(stat_cols)}))"), F.lit(0)
                 ).alias("h"),
+            ]
+            if stat_cols
+            else None
+        )
+        if blocking:
+            obs = None
+            if stat_aggs:
+                # piggyback the checksum on the write job itself
+                obs = Observation(f"{name}-r{k}")
+                df = df.observe(obs, *stat_aggs)
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            if obs is not None:
+                got = obs.get
+                stats = (int(got["n"]), int(got["h"]))
+        else:
+            out = df.localCheckpoint(eager=False)
+            # one action materializes the checkpoint; when stats are wanted
+            # the same action computes them (an Observation would NOT work
+            # here — its metrics node ends up inside the checkpointed RDD,
+            # invisible to downstream query executions)
+            if stat_aggs:
+                row = out.agg(*stat_aggs).collect()[0]
+                stats = (int(row["n"]), int(row["h"]))
+            else:
+                out.count()
+            self._pending.append(
+                self._metrics_pool.submit(
+                    lambda: out.write.mode("overwrite").parquet(path)
+                )
             )
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
 
         aggs = [F.count(F.lit(1)).alias("n_rows")]
 
@@ -112,17 +150,20 @@ class CheckpointStore:
                     "lineage": json.dumps(lineage or {}),
                 }
             ]
+            # one subdirectory per (name, round): concurrent metrics jobs
+            # never share an output committer staging dir
             self.spark.createDataFrame(
                 rows,
                 "partition_id int, n_rows long, name string, round int, path string,"
                 " wall_sec double, lineage string",
-            ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "metrics"))
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.root, "metrics", f"{name}_r{k:05d}")
+            )
             return per_part
 
         self._pending.append(self._metrics_pool.submit(_metrics_job))
-        if obs is not None:
-            got = obs.get  # blocks only until the (already finished) write's metrics land
-            return out, (int(got["n"]), int(got["h"]))
+        if stats is not None:
+            return out, stats
         return out
 
     def complete_rounds(self, name: str) -> list[int]:
@@ -143,4 +184,6 @@ class CheckpointStore:
         return self.spark.read.parquet(self._round_path(name, k))
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "metrics"))
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(self.root, "metrics")
+        )

@@ -1,18 +1,24 @@
 #!/usr/bin/env python
 """Two-parallelism scaling evidence (north rule: throughput scaling
 efficiency >= 0.8 between N and 4N executors; sandbox stand-in: the same
-job at local[2] vs local[8] on the identical input).
+job at local[N] vs local[4N] on the identical input).
 
-N=2 vs 4N=8 (not 8 vs 32) because on this single box per-core throughput
-itself degrades once ~16+ cores are busy (measured ~30% drop for pure
-CPU-bound multiprocess work at 32 threads — frequency/memory-bandwidth
-saturation). A real N -> 4N *executor* scale-out adds sockets and memory
-channels proportionally, so the low-core pair is the faithful stand-in;
-both levels sit on the flat part of this machine's per-core curve.
+Each level runs in its own subprocess (fresh JVM) **confined to exactly N
+CPUs** with ``taskset -c 0..N-1`` plus ``-XX:ActiveProcessorCount=N``.
+Without the confinement a `local[N]` JVM still uses the whole box for GC,
+shuffle/netty IO, parquet codec pools and Python workers, so the
+low-parallelism level borrows ~30 cores it does not declare and the
+measured ratio understates the true N -> 4N scaling of the job. A real
+N-core executor is cgroup-limited to N cores; taskset reproduces that.
 
-Runs each level in its own subprocess (fresh JVM) against one pre-generated
-parquet transcript table, measures end-to-end pipeline wall time, and
-writes BENCH.md with turns/sec at both levels and the efficiency
+Default levels are 4 vs 16: measured multiprocess per-core throughput on
+this box is flat from 1..16 busy cores (within 3%) and drops ~30% by 32,
+so 4 vs 16 is the widest honest pair (a real 4x *executor* scale-out adds
+sockets and memory channels proportionally and would not see the 32-core
+saturation).
+
+Measures end-to-end pipeline wall time per level and writes BENCH.md with
+turns/sec at both levels and the efficiency
   eff = throughput(4N) / (4 * throughput(N)).
 
 Usage: python scripts/scaling_bench.py [--blocks 1024] [--hot 4] [--out BENCH.md]
@@ -40,7 +46,7 @@ data = sys.argv[2]
 ckpt = sys.argv[3]
 
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=2 * cores)
+                  shuffle_partitions=4 * cores)
 t = spark.read.parquet(data)
 n_turns = t.count()
 t0 = time.time()
@@ -56,9 +62,16 @@ spark.stop()
 def run_level(cores: int, data: str) -> dict:
     with tempfile.TemporaryDirectory(prefix=f"scale_ckpt_{cores}_") as ckpt:
         script = _RUNNER.format(repo=REPO)
+        env = dict(os.environ)
+        # the JVM sizes GC / common fork-join pools from the visible core
+        # count; make it match the confinement
+        env["SPARK_GRAFT_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={cores}"
         out = subprocess.run(
-            [sys.executable, "-c", script, str(cores), data, ckpt],
-            capture_output=True, text=True, timeout=3600,
+            # hard-confine the whole process tree (JVM + Python workers)
+            # to exactly `cores` CPUs — the faithful N-core-executor stand-in
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, "-c", script, str(cores), data, ckpt],
+            capture_output=True, text=True, timeout=3600, env=env,
         )
         if out.returncode != 0:
             sys.stderr.write(out.stderr[-4000:])
@@ -70,8 +83,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=1024)
     ap.add_argument("--hot", type=int, default=4)
-    ap.add_argument("--low", type=int, default=2)
-    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--data", help="reuse an existing transcripts parquet dir")
     args = ap.parse_args()
@@ -100,11 +113,15 @@ def main() -> None:
         "Same end-to-end pipeline (features → side tables → blocking → CSLR",
         "pair scoring → large-star/small-star CC → assignments) on the same",
         f"parquet transcript table ({low['turns']} turns), fresh JVM per level.",
-        "Sandbox stand-in for N vs 4N executors (BASELINE.md). Levels are",
-        f"local[{args.low}] vs local[{args.high}]: both sit on the flat part of this box's",
-        "per-core throughput curve (at 16+ busy cores the hardware itself",
-        "loses ~30% per-core — frequency/memory-bandwidth saturation a real",
-        "multi-executor scale-out would not see).",
+        "Sandbox stand-in for N vs 4N executors (BASELINE.md). Each level is",
+        f"hard-confined to exactly its core count (`taskset -c 0-(N-1)` +",
+        "`-XX:ActiveProcessorCount=N`), so the low level cannot borrow the",
+        "box's idle cores for GC/shuffle/codec threads — the faithful",
+        f"emulation of an N-core executor. Levels local[{args.low}] vs local[{args.high}]:",
+        "measured per-core multiprocess throughput on this box is flat",
+        "through 16 busy cores (within 3%) and drops ~30% at 32, so this is",
+        "the widest pair where the hardware itself scales linearly (a real",
+        "4x executor scale-out adds sockets/memory channels proportionally).",
         "",
         "| parallelism | wall (s) | turns/sec |",
         "|---|---|---|",
