@@ -97,7 +97,16 @@ def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd
 
     # Ambiguous focus name for this block; surface variants exercise the
     # normalizer (reversed order ≙ isNameReverse, stray punctuation/case).
-    given = _GIVENS[block_id % len(_GIVENS)]
+    # The (given, surname) grid has period lcm(25, 20) = 100, so beyond 100
+    # blocks a per-cycle alphabetic suffix keeps block keys distinct —
+    # otherwise growing the corpus silently merges generator blocks into
+    # ever-bigger effective blocks and candidate pairs grow quadratically
+    # with corpus size (real corpora grow the name vocabulary instead;
+    # block-size distribution must be stationary for throughput-vs-size
+    # comparisons to mean anything). Suffix is empty for block_id < 100, so
+    # small fixtures are byte-identical to before.
+    cycle = block_id // 100
+    given = _GIVENS[block_id % len(_GIVENS)] + ("" if cycle == 0 else _alpha(cycle - 1))
     surname = _SURNAMES[(block_id * 7) % len(_SURNAMES)]
     focus_canonical = f"{given} {surname}"
     variants = [

@@ -40,12 +40,20 @@ class CheckpointStore:
         # a burst of round writes from convoying behind one another.
         self._metrics_pool = ThreadPoolExecutor(max_workers=4)
         self._pending: list[Future] = []
+        # name -> persisted round DataFrames, oldest first; all but the
+        # latest are released at flush()
+        self._cached: dict[str, list[DataFrame]] = {}
 
     def flush(self) -> None:
-        """Block until all async metrics writes have landed."""
+        """Block until all async snapshot/metrics writes have landed, then
+        release superseded round caches (keeping each name's latest)."""
         for f in self._pending:
             f.result()
         self._pending.clear()
+        for name, dfs in self._cached.items():
+            for df in dfs[:-1]:
+                df.unpersist()
+            self._cached[name] = dfs[-1:]
 
     def _round_path(self, name: str, k: int) -> str:
         return os.path.join(self.root, name, f"round={k:05d}")
@@ -73,13 +81,14 @@ class CheckpointStore:
         large ones.
 
         ``blocking=False`` takes the parquet write itself off the critical
-        path: the round is materialized once via ``localCheckpoint`` (one
-        Spark action, which also truncates lineage) and the snapshot file
-        write is submitted to the background pool (``flush()`` joins it).
-        Commit semantics are unchanged — a round only *exists* for resume
-        once its ``_SUCCESS`` marker lands, so a kill mid-write simply
-        re-enters one round earlier. Downstream stages read the in-memory
-        checkpointed data instead of waiting for (then re-reading) parquet.
+        path: the round is persisted and materialized in one Spark action
+        and the snapshot file write is submitted to the background pool
+        (``flush()`` joins it). Commit semantics are unchanged — a round
+        only *exists* for resume once its ``_SUCCESS`` marker lands, so a
+        kill mid-write simply re-enters one round earlier. Downstream
+        stages read the in-memory data instead of waiting for (then
+        re-reading) parquet. When the same ``name`` is written again, the
+        previous round's cache is released once its background jobs finish.
         """
         from pyspark.sql import Observation
 
@@ -108,21 +117,31 @@ class CheckpointStore:
                 got = obs.get
                 stats = (int(got["n"]), int(got["h"]))
         else:
-            out = df.localCheckpoint(eager=False)
-            # one action materializes the checkpoint; when stats are wanted
-            # the same action computes them (an Observation would NOT work
-            # here — its metrics node ends up inside the checkpointed RDD,
-            # invisible to downstream query executions)
+            # EAGER localCheckpoint: (a) truncates the logical plan — the CC
+            # loop feeds each round's output back through large/small-star,
+            # which references its input ~a dozen times, so without
+            # truncation the analyzed plan grows exponentially with rounds
+            # and Catalyst hangs; (b) being eager, the checkpoint is
+            # finalized before the async metrics/snapshot jobs below start —
+            # a LAZY localCheckpoint races them ("Block ... does not
+            # exist"), and plain persist() fixes the race but re-opens (a).
+            # (An Observation would not work for the stats either — its
+            # metrics node would be invisible to downstream executions.)
+            out = df.localCheckpoint(eager=True)
             if stat_aggs:
                 row = out.agg(*stat_aggs).collect()[0]
                 stats = (int(row["n"]), int(row["h"]))
-            else:
-                out.count()
-            self._pending.append(
-                self._metrics_pool.submit(
-                    lambda: out.write.mode("overwrite").parquet(path)
-                )
+            snap_fut = self._metrics_pool.submit(
+                lambda: out.write.mode("overwrite").parquet(path)
             )
+            self._pending.append(snap_fut)
+            # superseded rounds stay cached until the store is flushed —
+            # round edge-sets are small, and a checkpointed round's blocks
+            # must outlive every dependent job (its lineage is truncated, so
+            # evicted blocks are unrecoverable): only flush(), which first
+            # joins all background jobs, releases all but the latest per
+            # name.
+            self._cached.setdefault(name, []).append(out)
 
         aggs = [F.count(F.lit(1)).alias("n_rows")]
 
@@ -161,7 +180,8 @@ class CheckpointStore:
             )
             return per_part
 
-        self._pending.append(self._metrics_pool.submit(_metrics_job))
+        metrics_fut = self._metrics_pool.submit(_metrics_job)
+        self._pending.append(metrics_fut)
         if stats is not None:
             return out, stats
         return out
