@@ -79,6 +79,7 @@ def all_pairs_salted(
     features: DataFrame,
     small_block_size: int = 64,
     bucket_rows: int = 32,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive within-block pairs for blocks of size <= small_block_size,
     generated through a salted bucket grid: each conversation hashes into
@@ -86,7 +87,8 @@ def all_pairs_salted(
     bucket combinations, so a block's O(n²) work spreads over B(B+1)/2
     tasks instead of one hot partition (the 'wei wang' salting duty,
     SURVEY.md §4)."""
-    sizes = features.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = features.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
     feats = features.join(
         F.broadcast(sizes.where(F.col("n") <= small_block_size)), "block_key"
     )
@@ -114,33 +116,60 @@ def all_pairs_salted(
     left = feats.select("block_key", F.col("bucket").alias("bi"), F.col("conv_id").alias("conv_id1"))
     right = feats.select("block_key", F.col("bucket").alias("bj"), F.col("conv_id").alias("conv_id2"))
     pairs = grid.join(left, ["block_key", "bi"]).join(right, ["block_key", "bj"])
-    return _canonical_pairs(pairs).select("block_key", "conv_id1", "conv_id2")
+    # Canonicalize to unordered pairs. A cross-bucket cell (bi < bj) holds
+    # each unordered pair exactly once but with arbitrary id-order — a
+    # `conv_id1 < conv_id2` filter would silently DROP pairs whose id-order
+    # disagrees with the bucket-order; least/greatest keeps them. Same-bucket
+    # cells hold both orderings, so there the strict filter dedups.
+    pairs = pairs.where(
+        (F.col("bi") != F.col("bj")) | (F.col("conv_id1") < F.col("conv_id2"))
+    ).where(F.col("conv_id1") != F.col("conv_id2"))
+    return pairs.select(
+        "block_key",
+        F.least("conv_id1", "conv_id2").alias("conv_id1"),
+        F.greatest("conv_id1", "conv_id2").alias("conv_id2"),
+    )
 
 
 def candidate_pairs(
     features: DataFrame,
     max_evidence_df: int = 50,
-    small_block_size: int = 64,
+    small_block_size: int = 256,
 ) -> DataFrame:
-    """Union of evidence-driven pairs and exhaustive small-block pairs.
+    """Candidate pairs, routed by block size — the two paths partition the
+    block space, so their union needs no dedup shuffle:
+
+    * blocks with <= ``small_block_size`` conversations (the vast majority;
+      block sizes are stationary in corpus size): **exhaustive salted
+      pairs**. O(n²) per block is bounded by the size cap, and the
+      vectorized scorer prices a pair far below what the evidence join's
+      explode/self-join/aggregate chain costs per generated row. A pair
+      sharing no evidence scores 0 and fails the gate, so the extra pairs
+      only add recall headroom.
+    * larger (hot) blocks: **evidence-driven pairs** (shared coauthor /
+      shared rare term), whose pair count grows with Σ df² per evidence key
+      — bounded by the df cap — instead of block size². This is the scale
+      path for 'wei wang'-sized keys at 10^12 turns.
+
     Output: (block_key, conv_id1, conv_id2, n_shared_coauthors,
-    n_shared_terms)."""
-    ev = evidence_pairs(features, max_evidence_df=max_evidence_df)
-    small = all_pairs_salted(features, small_block_size=small_block_size).select(
+    n_shared_terms); counts are 0 on the exhaustive path (the scorer
+    recomputes its own shared-evidence channels either way)."""
+    sizes = features.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    big = features.join(
+        F.broadcast(sizes.where(F.col("n") > small_block_size).select("block_key")),
+        "block_key",
+    )
+    ev = evidence_pairs(big, max_evidence_df=max_evidence_df)
+    small = all_pairs_salted(
+        features, small_block_size=small_block_size, sizes=sizes
+    ).select(
         "block_key",
         "conv_id1",
         "conv_id2",
         F.lit(0).cast("bigint").alias("n_shared_coauthors"),
         F.lit(0).cast("bigint").alias("n_shared_terms"),
     )
-    return (
-        ev.unionByName(small)
-        .groupBy(*PAIR_KEY_COLS)
-        .agg(
-            F.max("n_shared_coauthors").alias("n_shared_coauthors"),
-            F.max("n_shared_terms").alias("n_shared_terms"),
-        )
-    )
+    return ev.unionByName(small)
 
 
 def attach_features(pairs: DataFrame, features: DataFrame) -> DataFrame:

@@ -230,6 +230,74 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
     return ambig.select("name", "occurrence", F.round("ambig", 6).alias("ambig"))
 
 
+def key_ambiguity_rows(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> list:
+    """``key_ambiguity`` with the fixed-point iteration run driver-side.
+
+    The heavy lifting — name extraction, occurrence counts, seed heuristics
+    — stays distributed (two groupBy jobs). The iteration itself operates on
+    the *name table* (one row per distinct person name), which is exactly
+    the table the scoring stage collects into a broadcast dict anyway: it is
+    driver-sized by design (≤ real-world name vocabulary, NOT corpus-sized).
+    Running the 20-round fixed point as pandas groupbys on that collected
+    table replaces ~4 barrier-latency Spark jobs per round with
+    sub-millisecond driver math — on a cluster those barriers are the
+    dominant cost of the side-table stage, and they do not parallelize.
+
+    Returns a list of dict rows (name, occurrence, ambig) identical in
+    semantics to ``key_ambiguity(...).collect()`` (same seed, same update
+    rule, same rounding; float sums may differ in the last ulp from Spark's
+    aggregation order, both rounded to 6 decimals).
+    """
+    import pandas as pd
+
+    names = (
+        conv_author_hits(features)
+        .groupBy("author")
+        .agg(F.count(F.lit(1)).alias("occurrence"))
+        .withColumnRenamed("author", "name")
+    )
+    clust_est = (
+        features.groupBy("focus_name")
+        .agg(F.countDistinct("venue").alias("clust_est"), F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("focus_name", "name")
+        .select(
+            "name",
+            F.greatest(
+                F.lit(1.0),
+                F.round(
+                    AMBIG_SEED_CLUST_W * F.col("clust_est")
+                    - AMBIG_SEED_SOLO_W * F.when(F.col("cnt") == 1, 1.0).otherwise(0.0),
+                    6,
+                ),
+            ).alias("seed"),
+        )
+    )
+    df = (
+        names.join(clust_est, "name", "left")
+        .withColumn("ambig", F.coalesce(F.col("seed"), F.lit(1.0)))
+        .select("name", "occurrence", "ambig")
+        .toPandas()
+    )
+    parts = df["name"].str.split(" ")
+    df["surname"] = parts.str[-1]
+    df["givenname"] = parts.str[0]
+
+    prev_total = None
+    for _ in range(rounds):
+        total = float(df["ambig"].sum())
+        if prev_total is not None and abs(total - prev_total) < AMBIG_CONVERGE_ABS:
+            break
+        prev_total = total
+        s_sum = df.groupby("surname")["ambig"].transform("sum")
+        g_sum = df.groupby("givenname")["ambig"].transform("sum")
+        refined = ((s_sum / total) * (g_sum / total) * AMBIG_ITER_SCALE * total).round(6)
+        df["ambig"] = pd.concat(
+            [df["ambig"], refined], axis=1
+        ).max(axis=1).clip(upper=df["occurrence"].astype(float))
+    df["ambig"] = df["ambig"].round(6)
+    return df[["name", "occurrence", "ambig"]].to_dict("records")
+
+
 def coauthor_stats(features: DataFrame) -> DataFrame:
     """Per-name coauthor counts (cnambig.pl:239-271; loader
     NLPUtil.pm:1951-2001): (name, n_coauthors). Feeds the evidence-error

@@ -78,6 +78,11 @@ class ScoringParams:
     # evidence gate: shared idf mass must reach log(overestimated ambiguity)
     ic_gate_scale: float = 1.0
     threshold: float = 0.65
+    # blocking routing: blocks <= small_block_size score all pairs in-worker
+    # (score_blocks_exhaustive); larger blocks go through evidence joins
+    # with the per-key document-frequency cap (the skew guard).
+    small_block_size: int = 256
+    max_evidence_df: int = 50
 
 
 SCORE_SCHEMA = T.StructType(
@@ -711,6 +716,324 @@ def score_pairs_fast(
     return pairs_with_prep.mapInPandas(scorer, schema=out_schema)
 
 
+def _score_group_vectorized(
+    pairs_pdf: pd.DataFrame,
+    prep_pdf: pd.DataFrame,
+    p: ScoringParams,
+    ambig: dict,
+    cn_counts: dict,
+    ambig_sum_total: float,
+    tool_simi_map: dict,
+    score_names: list[str],
+    needed_only: bool = False,
+) -> pd.DataFrame:
+    """Score one cogroup's pairs, vectorized.
+
+    With ``needed_only=True`` the per-unique-pair channels (tool CSLR,
+    Jaro-Winkler) are computed only for pairs where they can be observed
+    downstream — evidence-gate passers (score ≠ 0 requires the gate) and
+    stage-1 mergeable pairs. Callers that emit every row (the parity-tested
+    full scorers) keep the default and get all channels everywhere.
+
+    Channel-for-channel identical to ``score_one_pair`` (the unit-test
+    oracle); the bulk channels run as numpy/BLAS matrix products instead of
+    per-pair Python:
+
+    * content / ic-sum / taxonomy cosines: group-local gram matrices
+      (``X @ X.T`` over the group's term/category matrices) — every product
+      term is non-negative, so a gram entry is zero exactly when the oracle's
+      per-pair dot is zero, and otherwise differs only in float summation
+      order (≪1e-12 rel);
+    * year discount, evidence gate, score combination: elementwise numpy;
+    * Jaro-Winkler and tool-CSLR: computed once per *unique* (surface,
+      surface) / (tool-signature, tool-signature) pair — the exact memo
+      domains of the per-pair path — then gathered;
+    * stage-1 coauthor logic (subset / evidence-error / cslr-odds,
+      NLPUtil.pm:3904-3941, 4173-4342) + shared-coauthor boost + coauthor
+      CSLR: per-pair Python, but ONLY for pairs that share ≥1 coauthor —
+      membership detected by an indicator gram; pairs sharing none have
+      mergeable=False, cslr_co=0, boost=1 by definition.
+    """
+    import numpy as np
+
+    n = len(prep_pdf)
+    P = len(pairs_pdf)
+    expander = None
+    if tool_simi_map:
+        # expandSimilarVenues (NLPUtil.pm:3011-3102) is a function of the
+        # vector being expanded and the similarity floor ALONE (the `other`
+        # side never participates), so its result is memoizable per
+        # (vector, floor). cslr_v2 mutates the dicts it receives (priors,
+        # UNSEEN pooling) — hand it a copy, never the memoized object.
+        _raw_expand = make_tool_expander(tool_simi_map)
+        _exp_memo: dict[tuple, dict] = {}
+
+        def expander(vec: dict, other: dict, least_simi: float) -> dict:
+            key = (tuple(sorted(vec.items())), least_simi)
+            r = _exp_memo.get(key)
+            if r is None:
+                r = _raw_expand(vec, other, least_simi)
+                _exp_memo[key] = r
+            return dict(r)
+
+    focus_memo: dict[str, tuple] = {}
+
+    def focus_state(focus: str) -> tuple:
+        st = focus_memo.get(focus)
+        if st is None:
+            is_amb = focus in ambig
+            if is_amb:
+                cnt_thres, amb_thres = evidence_thresholds(
+                    focus, p.error_tolerance, ambig, cn_counts, ambig_sum_total
+                )
+            else:
+                cnt_thres = amb_thres = 0.0
+            gate_thres = p.ic_gate_scale * math.log(
+                max(overestimate_ambig(focus, ambig), math.e)
+            )
+            st = (is_amb, cnt_thres, amb_thres, gate_thres)
+            focus_memo[focus] = st
+        return st
+
+    # ---- per-conversation decode (once per group) -----------------------
+    cid_arr = prep_pdf["conv_id"].to_numpy()
+    idx = {c: i for i, c in enumerate(cid_arr)}
+    focus_arr = prep_pdf["focus_name"].to_numpy()
+    raw_arr = prep_pdf["focus_raw"].to_numpy()
+    yf = prep_pdf["year_from"].to_numpy(dtype=np.int64)
+    yt = prep_pdf["year_to"].to_numpy(dtype=np.int64)
+    tnorm = prep_pdf["t_norm"].to_numpy(dtype=np.float64)
+    cnorm = prep_pdf["cat_norm"].to_numpy(dtype=np.float64)
+
+    co_dicts: list[dict] = []
+    strong_dicts: list[dict] = []
+    tool_sig_ids: dict[tuple, int] = {}
+    sig_dicts: list[dict] = []
+    sig_of = np.empty(n, dtype=np.int64)
+    co_index: dict[str, int] = {}
+    for i, (co_k, co_f, tool_k, tool_f, focus) in enumerate(
+        zip(prep_pdf["co_k"], prep_pdf["co_f"], prep_pdf["tool_k"],
+            prep_pdf["tool_f"], focus_arr)
+    ):
+        co = dict(zip(co_k, co_f))
+        co_dicts.append(co)
+        for c in co:
+            if c not in co_index:
+                co_index[c] = len(co_index)
+        is_amb, cnt_thres, amb_thres, _ = focus_state(focus)
+        if is_amb:
+            strong = {
+                c: v
+                for c, v in co.items()
+                if c not in cn_counts
+                or (
+                    cn_counts[c] <= cnt_thres
+                    and overestimate_ambig(c, ambig) <= amb_thres
+                )
+            }
+        else:
+            strong = co
+        strong_dicts.append(strong)
+        td = dict(zip(tool_k, tool_f))
+        key = tuple(sorted(td.items()))
+        sid = tool_sig_ids.get(key)
+        if sid is None:
+            sid = len(tool_sig_ids)
+            tool_sig_ids[key] = sid
+            sig_dicts.append(td)
+        sig_of[i] = sid
+
+    # ---- group-local term / category / coauthor matrices ----------------
+    ids_list = [np.asarray(a, dtype=np.int64) for a in prep_pdf["t_ids"]]
+    lens = np.fromiter((a.size for a in ids_list), dtype=np.int64, count=n)
+    all_ids = np.concatenate(ids_list) if n else np.empty(0, np.int64)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    V = uniq.size
+    rows = np.repeat(np.arange(n), lens)
+    X = np.zeros((n, V))
+    Widf = np.zeros((n, V))
+    B = np.zeros((n, V))
+    if all_ids.size:
+        X[rows, inv] = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in prep_pdf["t_w"]]
+        )
+        Widf[rows, inv] = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in prep_pdf["t_idf"]]
+        )
+        B[rows, inv] = 1.0
+    G = X @ X.T
+    Gic = Widf @ B.T
+
+    C = np.array([np.asarray(a, dtype=np.float64) for a in prep_pdf["cat"]])
+    Gc = C @ C.T
+
+    Vc = len(co_index)
+    A = np.zeros((n, Vc))
+    S = np.zeros((n, Vc))
+    for i, (co, strong) in enumerate(zip(co_dicts, strong_dicts)):
+        for c in co:
+            A[i, co_index[c]] = 1.0
+        for c in strong:
+            S[i, co_index[c]] = 1.0
+    As = A @ A.T
+
+    I = pairs_pdf["conv_id1"].map(idx).to_numpy(dtype=np.int64)
+    J = pairs_pdf["conv_id2"].map(idx).to_numpy(dtype=np.int64)
+
+    # ---- vectorized stage-2 channels -------------------------------------
+    D = G[I, J]
+    denom = tnorm[I] * tnorm[J]
+    content = np.zeros(P)
+    np.divide(D, denom, out=content, where=D != 0.0)
+    ic_sum = Gic[I, J]
+    Dc = Gc[I, J]
+    cden = cnorm[I] * cnorm[J]
+    taxonomy = np.zeros(P)
+    np.divide(Dc, cden, out=taxonomy, where=Dc != 0.0)
+
+    d = np.where(
+        yt[I] < yf[J], yf[J] - yt[I], np.where(yt[J] < yf[I], yf[I] - yt[J], 0)
+    ).astype(np.float64)
+    from namedis_spark.functions.core import (
+        MAX_YEAR_DIFF,
+        YEAR_TOLERANCE,
+        YEARLY_ATTENUATE,
+    )
+
+    extra = np.maximum(d - YEAR_TOLERANCE, 0.0)
+    ydisc = np.where(
+        d > MAX_YEAR_DIFF, 0.0, np.where(extra <= 0.0, 1.0, YEARLY_ATTENUATE**extra)
+    )
+
+    gth = np.fromiter((focus_state(f)[3] for f in focus_arr), np.float64, count=n)
+    gate = ic_sum >= gth[I]
+
+    # ---- stage 1 + coauthor channels: only pairs sharing a coauthor ------
+    mergeable = np.zeros(P, dtype=bool)
+    reason = np.full(P, None, dtype=object)
+    cslr_co = np.zeros(P)
+    boost = np.ones(P)
+    err_memo: dict[tuple[str, str], float] = {}
+
+    def pair_error(focus: str, c: str) -> float:
+        e = err_memo.get((focus, c))
+        if e is None:
+            e = coauthor_evidence_error(focus, c, ambig, cn_counts, ambig_sum_total)
+            err_memo[(focus, c)] = e
+        return e
+
+    for q in np.nonzero(As[I, J] > 0.0)[0]:
+        i, j = I[q], J[q]
+        focus = focus_arr[i]
+        co1, s1 = co_dicts[i], strong_dicts[i]
+        co2, s2 = co_dicts[j], strong_dicts[j]
+        shared = [c for c in co1 if c in co2]
+        is_ambiguous = focus_state(focus)[0]
+
+        mg = False
+        rs = None
+        if not is_ambiguous:
+            if len(shared) >= p.plain_min_shared:
+                mg, rs = True, "shared>=2"
+        elif shared:
+            shared_strong = [c for c in s1 if c in s2]
+            if shared_strong and (
+                len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
+            ):
+                mg, rs = True, "subset"
+            else:
+                err = min(pair_error(focus, c) for c in shared)
+                if err <= p.error_tolerance:
+                    mg, rs = True, "evidence-error"
+
+        cc = 0.0
+        if not mg and is_ambiguous and shared:
+            k1 = s1 if len(s1) > 2 else co1
+            k2 = s2 if len(s2) > 2 else co2
+            if len(k1) > 1 and len(k2) > 1:
+                _, cc = cslr_v2(k1, k2, min_odds=0.0, max_counted_freq=4)
+                if cc >= p.same_mn_odds_thres:
+                    mg, rs = True, "cslr-odds"
+        elif shared:
+            _, cc = cslr_v2(co1, co2, min_odds=0.0, max_counted_freq=4)
+
+        mergeable[q] = mg
+        reason[q] = rs
+        cslr_co[q] = cc
+        boost[q] = shared_coauthor_boost(
+            focus, shared, ambig, cn_counts, ambig_sum_total
+        )
+
+    # ---- unique-pair channels (jw, tool cslr) ----------------------------
+    # Restricted to observable pairs when needed_only: for a gated-out,
+    # non-mergeable pair the score is 0 by construction and the row is never
+    # emitted, so its tool/jw channels are dead values.
+    if needed_only:
+        live = np.nonzero(gate | mergeable)[0]
+    else:
+        live = np.arange(P)
+    Il, Jl = I[live], J[live]
+
+    name_ids: dict[str, int] = {}
+    rid = np.empty(n, dtype=np.int64)
+    for i, (r, f) in enumerate(zip(raw_arr, focus_arr)):
+        rr = r or f
+        nid = name_ids.get(rr)
+        if nid is None:
+            nid = len(name_ids)
+            name_ids[rr] = nid
+        rid[i] = nid
+    names = list(name_ids)
+    pk = rid[Il] * len(names) + rid[Jl]
+    upk, pinv = np.unique(pk, return_inverse=True)
+    jw_u = np.empty(upk.size)
+    for t, key in enumerate(upk):
+        a, b = divmod(int(key), len(names))
+        jw_u[t] = jaro_winkler(names[a], names[b])
+    jw = np.zeros(P)
+    jw[live] = jw_u[pinv]
+
+    spk = sig_of[Il] * len(sig_dicts) + sig_of[Jl]
+    usk, sinv = np.unique(spk, return_inverse=True)
+    ct_u = np.empty(usk.size)
+    for t, key in enumerate(usk):
+        a, b = divmod(int(key), len(sig_dicts))
+        t1, t2 = sig_dicts[a], sig_dicts[b]
+        _, v = cslr_v2(t1, t2, min_odds=0.0, max_counted_freq=4)
+        if expander is not None:
+            _, ve = cslr_v2(
+                t1, t2, outcome_expander=expander, min_odds=0.0, max_counted_freq=4
+            )
+            v = max(v, ve)
+        ct_u[t] = v
+    cslr_tool = np.zeros(P)
+    cslr_tool[live] = ct_u[sinv]
+
+    boost = np.minimum(boost, p.coauthor_boost_cap)
+    venue_boost = np.minimum(
+        np.maximum(cslr_tool, p.venue_boost_floor), p.venue_boost_cap
+    )
+    base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
+    score = np.where(gate, base * venue_boost * boost * ydisc, 0.0)
+
+    return pd.DataFrame(
+        {
+            "stage1_mergeable": mergeable,
+            "stage1_reason": reason,
+            "cslr_coauthor": cslr_co,
+            "cslr_tool": cslr_tool,
+            "jw": jw,
+            "content_cos": content,
+            "taxonomy_cos": taxonomy,
+            "year_discount": ydisc,
+            "coauthor_boost": boost,
+            "ic_sum": ic_sum,
+            "gate_passed": gate,
+            "score": score,
+        }
+    )[score_names]
+
+
 def score_pairs_grouped(
     spark: SparkSession,
     pairs: DataFrame,
@@ -802,156 +1125,10 @@ def score_pairs_grouped(
         ambig = sv["ambig"]
         cn_counts = sv["cn_counts"]
         ambig_sum_total = sv["ambig_sum_total"]
-        expander = (
-            make_tool_expander(sv["tool_simi_map"]) if sv["tool_simi_map"] else None
+        res = _score_group_vectorized(
+            pairs_pdf, prep_pdf, p, ambig, cn_counts, ambig_sum_total,
+            sv["tool_simi_map"], score_names,
         )
-
-        focus_memo: dict[str, tuple] = {}
-        jw_memo: dict[tuple[str, str], float] = {}
-        err_memo: dict[tuple[str, str], float] = {}
-        tool_cslr_memo: dict[tuple, float] = {}
-
-        def focus_state(focus: str) -> tuple:
-            st = focus_memo.get(focus)
-            if st is None:
-                is_amb = focus in ambig
-                if is_amb:
-                    cnt_thres, amb_thres = evidence_thresholds(
-                        focus, p.error_tolerance, ambig, cn_counts, ambig_sum_total
-                    )
-                else:
-                    cnt_thres = amb_thres = 0.0
-                gate_thres = p.ic_gate_scale * math.log(
-                    max(overestimate_ambig(focus, ambig), math.e)
-                )
-                st = (is_amb, cnt_thres, amb_thres, gate_thres)
-                focus_memo[focus] = st
-            return st
-
-        # decode the group's conversations ONCE, columnar
-        conv: dict[str, tuple] = {}
-        for (cid, focus, raw, co_k, co_f, tool_k, tool_f,
-             t_ids, t_w, t_idf, t_norm, cat, cat_norm, yf, yt) in zip(
-            prep_pdf["conv_id"], prep_pdf["focus_name"], prep_pdf["focus_raw"],
-            prep_pdf["co_k"], prep_pdf["co_f"], prep_pdf["tool_k"], prep_pdf["tool_f"],
-            prep_pdf["t_ids"], prep_pdf["t_w"], prep_pdf["t_idf"], prep_pdf["t_norm"],
-            prep_pdf["cat"], prep_pdf["cat_norm"], prep_pdf["year_from"], prep_pdf["year_to"],
-        ):
-            co = dict(zip(co_k, co_f))
-            tools = dict(zip(tool_k, tool_f))
-            is_amb, cnt_thres, amb_thres, _ = focus_state(focus)
-            if is_amb:
-                strong = {
-                    c: v
-                    for c, v in co.items()
-                    if c not in cn_counts
-                    or (
-                        cn_counts[c] <= cnt_thres
-                        and overestimate_ambig(c, ambig) <= amb_thres
-                    )
-                }
-            else:
-                strong = co
-            conv[cid] = (
-                focus, raw, co, strong, tools, tuple(sorted(tools.items())),
-                np.asarray(t_ids, dtype=np.int64),
-                np.asarray(t_w, dtype=np.float64),
-                np.asarray(t_idf, dtype=np.float64),
-                float(t_norm),
-                np.asarray(cat, dtype=np.float64),
-                float(cat_norm),
-                int(yf), int(yt),
-            )
-
-        def pair_error(focus: str, c: str) -> float:
-            e = err_memo.get((focus, c))
-            if e is None:
-                e = coauthor_evidence_error(focus, c, ambig, cn_counts, ambig_sum_total)
-                err_memo[(focus, c)] = e
-            return e
-
-        results = []
-        for cid1, cid2 in zip(pairs_pdf["conv_id1"], pairs_pdf["conv_id2"]):
-            (focus, r1, co1, s1, tools1, tk1, ids1, w1, idf1, n1, cat1, cn1,
-             yf1, yt1) = conv[cid1]
-            (_, r2, co2, s2, tools2, tk2, ids2, w2, idf2, n2, cat2, cn2,
-             yf2, yt2) = conv[cid2]
-            shared = [c for c in co1 if c in co2]
-            is_ambiguous, cnt_thres, amb_thres, gate_thres = focus_state(focus)
-
-            mergeable = False
-            reason = None
-            if not is_ambiguous:
-                if len(shared) >= p.plain_min_shared:
-                    mergeable, reason = True, "shared>=2"
-            elif shared:
-                shared_strong = [c for c in s1 if c in s2]
-                if shared_strong and (
-                    len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
-                ):
-                    mergeable, reason = True, "subset"
-                else:
-                    err = min(pair_error(focus, c) for c in shared)
-                    if err <= p.error_tolerance:
-                        mergeable, reason = True, "evidence-error"
-
-            cslr_co = 0.0
-            if not mergeable and is_ambiguous and shared:
-                k1 = s1 if len(s1) > 2 else co1
-                k2 = s2 if len(s2) > 2 else co2
-                if len(k1) > 1 and len(k2) > 1:
-                    _, cslr_co = cslr_v2(k1, k2, min_odds=0.0, max_counted_freq=4)
-                    if cslr_co >= p.same_mn_odds_thres:
-                        mergeable, reason = True, "cslr-odds"
-            elif shared:
-                _, cslr_co = cslr_v2(co1, co2, min_odds=0.0, max_counted_freq=4)
-
-            cslr_tool = tool_cslr_memo.get((tk1, tk2))
-            if cslr_tool is None:
-                _, cslr_tool = cslr_v2(tools1, tools2, min_odds=0.0, max_counted_freq=4)
-                if expander is not None:
-                    _, cslr_tool_exp = cslr_v2(
-                        tools1, tools2, outcome_expander=expander,
-                        min_odds=0.0, max_counted_freq=4,
-                    )
-                    cslr_tool = max(cslr_tool, cslr_tool_exp)
-                tool_cslr_memo[(tk1, tk2)] = cslr_tool
-
-            rr1 = r1 or focus
-            rr2 = r2 or focus
-            jw = jw_memo.get((rr1, rr2))
-            if jw is None:
-                jw = jaro_winkler(rr1, rr2)
-                jw_memo[(rr1, rr2)] = jw
-
-            _, i1, i2 = np.intersect1d(
-                ids1, ids2, assume_unique=True, return_indices=True
-            )
-            dot = float(np.dot(w1[i1], w2[i2]))
-            content = dot / (n1 * n2) if dot != 0.0 else 0.0
-            ic_sum = float(idf1[i1].sum())
-
-            cdot = float(np.dot(cat1, cat2))
-            taxonomy = cdot / (cn1 * cn2) if cdot != 0.0 else 0.0
-
-            ydisc = year_diff_discount(year_range_diff(yf1, yt1, yf2, yt2))
-            boost = min(
-                shared_coauthor_boost(focus, shared, ambig, cn_counts, ambig_sum_total),
-                p.coauthor_boost_cap,
-            )
-            gate = ic_sum >= gate_thres
-            venue_boost = min(max(cslr_tool, p.venue_boost_floor), p.venue_boost_cap)
-            base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
-            score_val = base * venue_boost * boost * ydisc if gate else 0.0
-            results.append(
-                (
-                    bool(mergeable), reason, float(cslr_co), float(cslr_tool),
-                    float(jw), float(content), float(taxonomy), float(ydisc),
-                    float(boost), ic_sum, bool(gate), float(score_val),
-                )
-            )
-
-        res = pd.DataFrame(results, columns=score_names)
         return pd.concat(
             [pairs_pdf[pair_cols].reset_index(drop=True), res], axis=1
         )
@@ -961,6 +1138,113 @@ def score_pairs_grouped(
     )
     return grouped.applyInPandas(
         lambda left, right: fn(left, right), schema=out_schema
+    )
+
+
+def score_blocks_exhaustive(
+    spark: SparkSession,
+    prep: DataFrame,
+    side: SideTables,
+    params: ScoringParams | None = None,
+    small_block_size: int = 256,
+    bucket_rows: int = 96,
+    emit_floor_frac: float = 0.8,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs scoring for small blocks WITHOUT materializing a pair table.
+
+    The reference's stage-2 scores every cluster pair within a name
+    (agglomerative, NLPUtil.pm:3810-3833); for blocks of ≤
+    ``small_block_size`` conversations that is O(cap²) bounded work. Shipping
+    an explicit pair row per candidate through a JVM join + Arrow round-trip
+    costs more than the scoring itself, so here the *prepared feature rows*
+    are salted into a bucket grid (nb = ceil(n / bucket_rows) buckets per
+    block; a row replicates to the nb cells its bucket touches — the same
+    'wei wang' skew geometry as all_pairs_salted) and the Python worker
+    enumerates its cell's pairs directly: triu within a bucket-diagonal
+    cell, full cross product otherwise.
+
+    Only rows that can matter downstream are emitted: stage-1 mergeable or
+    score ≥ emit_floor_frac × threshold (the CC edge filter uses the full
+    threshold, so edges are identical to scoring everything; the sub-floor
+    margin rides along for diagnostics). Output schema: (block_key,
+    conv_id1, conv_id2) + SCORE_SCHEMA.
+    """
+    import numpy as np
+
+    params = params or ScoringParams()
+    bc = spark.sparkContext.broadcast(
+        {
+            "ambig": side.ambig,
+            "cn_counts": side.cn_counts,
+            "ambig_sum_total": side.ambig_sum_total,
+            "tool_simi_map": side.tool_simi_map,
+            "params": params,
+        }
+    )
+    if sizes is None:
+        sizes = prep.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    feats = prep.join(
+        F.broadcast(sizes.where(F.col("n") <= small_block_size)), "block_key"
+    )
+    nb = F.ceil(F.col("n") / F.lit(bucket_rows)).cast("int")
+    feats = (
+        feats.withColumn("b", F.pmod(F.xxhash64("conv_id"), nb).cast("int"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), nb - 1)))
+        .withColumn("bi", F.least(F.col("b"), F.col("j")))
+        .withColumn("bj", F.greatest(F.col("b"), F.col("j")))
+        .drop("n", "j")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("block_key", T.StringType()),
+            T.StructField("conv_id1", T.StringType()),
+            T.StructField("conv_id2", T.StringType()),
+        ]
+        + list(SCORE_SCHEMA.fields)
+    )
+    score_names = [f.name for f in SCORE_SCHEMA.fields]
+    emit_floor = emit_floor_frac * params.threshold
+
+    def fn(key, prep_pdf: pd.DataFrame) -> pd.DataFrame:
+        block_key, bi, bj = key[0], int(key[1]), int(key[2])
+        cids = prep_pdf["conv_id"].to_numpy()
+        b = prep_pdf["b"].to_numpy()
+        if bi == bj:
+            members = np.nonzero(b == bi)[0]
+            ii, jj = np.triu_indices(members.size, k=1)
+            i1, i2 = members[ii], members[jj]
+        else:
+            m1 = np.nonzero(b == bi)[0]
+            m2 = np.nonzero(b == bj)[0]
+            i1 = np.repeat(m1, m2.size)
+            i2 = np.tile(m2, m1.size)
+        if i1.size == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+        c1, c2 = cids[i1], cids[i2]
+        swap = c1 > c2
+        c1, c2 = np.where(swap, c2, c1), np.where(swap, c1, c2)
+        pairs_pdf = pd.DataFrame({"conv_id1": c1, "conv_id2": c2})
+
+        sv = bc.value
+        p: ScoringParams = sv["params"]
+        res = _score_group_vectorized(
+            pairs_pdf, prep_pdf, p, sv["ambig"], sv["cn_counts"],
+            sv["ambig_sum_total"], sv["tool_simi_map"], score_names,
+            needed_only=True,
+        )
+        keep = res["stage1_mergeable"].to_numpy() | (
+            res["score"].to_numpy() >= emit_floor
+        )
+        out = pd.concat([pairs_pdf, res], axis=1).loc[keep]
+        out.insert(0, "block_key", block_key)
+        return out
+
+    return feats.groupBy("block_key", "bi", "bj").applyInPandas(
+        fn, schema=out_schema
     )
 
 

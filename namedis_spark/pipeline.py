@@ -14,15 +14,19 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+import pyspark.sql.functions as F
+
 from namedis_spark.operators import corpus
-from namedis_spark.operators.blocking import candidate_pairs
+from namedis_spark.operators.blocking import evidence_pairs
 from namedis_spark.operators.cluster import assignments_from_edges
 from namedis_spark.operators.evaluate import macro_micro, pairwise_prf
 from namedis_spark.operators.features import conversation_features
 from namedis_spark.operators.scoring import (
+    SCORE_SCHEMA,
     ScoringParams,
     edges_above_threshold,
     prepare_scoring,
+    score_blocks_exhaustive,
     score_pairs_grouped,
 )
 from namedis_spark.sources.checkpoint import CheckpointStore
@@ -63,7 +67,7 @@ def run(
 
     # -- features (stage snapshot: resumable without recompute) ----------
     if resume and store.latest_round("features") is not None:
-        features = store.read_round("features", store.latest_round("features"))
+        features = store.read_round("features", store.latest_round("features")).persist()
     else:
         features = store.write_round(
             "features",
@@ -77,20 +81,32 @@ def run(
     # The five side-table jobs are independent; Spark schedules concurrent
     # jobs from separate driver threads, so their (small-data) latencies
     # overlap instead of adding up.
-    features.persist().count()
+    # (features is already materialized + cached by the eager localCheckpoint
+    # inside write_round — a persist().count() here would store and scan a
+    # second copy.)
     tick("features")
     from concurrent.futures import ThreadPoolExecutor
 
-    # Candidate-pair generation depends only on features, not on the side
-    # tables — materialize it concurrently with them (pairs is the heaviest
-    # of the six jobs, so the side-table latencies hide inside it).
+    # Candidate pairs are only *materialized* for big blocks (evidence
+    # joins); small blocks are scored pair-table-free by
+    # score_blocks_exhaustive below. Evidence-pair generation depends only
+    # on features, not the side tables — run it concurrently with them.
     need_scoring = not (resume and store.latest_round("scored") is not None)
-    pairs = candidate_pairs(features).persist() if need_scoring else None
+    sizes = (
+        features.groupBy("block_key").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    big_keys = sizes.where(F.col("n") > params.small_block_size).select("block_key")
+    pairs = None
+    if need_scoring:
+        big_feats = features.join(F.broadcast(big_keys), "block_key")
+        pairs = evidence_pairs(
+            big_feats, max_evidence_df=params.max_evidence_df
+        ).persist()
 
     with ThreadPoolExecutor(max_workers=6) as ex:
         f_pairs = ex.submit(lambda: pairs.count() if pairs is not None else 0)
         f_amb = ex.submit(
-            lambda: corpus.key_ambiguity(features, rounds=ambiguity_rounds).collect()
+            lambda: corpus.key_ambiguity_rows(features, rounds=ambiguity_rounds)
         )
         f_co = ex.submit(lambda: corpus.coauthor_stats(features).collect())
         f_idf = ex.submit(lambda: corpus.term_idf(features).collect())
@@ -120,11 +136,32 @@ def run(
     tick("side_tables")
 
     # -- blocking + scoring (stage snapshot) ------------------------------
+    # Two disjoint paths by block size (see score_blocks_exhaustive /
+    # evidence_pairs): small blocks score all pairs in-worker with no pair
+    # table; big (hot) blocks score only evidence-driven candidates.
     if not need_scoring:
         scored = store.read_round("scored", store.latest_round("scored"))
     else:
         prep = prepare_scoring(spark, features, side)
-        scored = score_pairs_grouped(spark, pairs, prep, side, params)
+        key_cols = ["block_key", "conv_id1", "conv_id2"]
+        score_cols = [f.name for f in SCORE_SCHEMA.fields]
+        small_scored = score_blocks_exhaustive(
+            spark,
+            prep,
+            side,
+            params,
+            small_block_size=params.small_block_size,
+            sizes=sizes,
+        )
+        big_prep = prep.join(F.broadcast(big_keys), "block_key")
+        big_scored = score_pairs_grouped(spark, pairs, big_prep, side, params)
+        emit_floor = 0.8 * params.threshold
+        big_scored = big_scored.where(
+            F.col("stage1_mergeable") | (F.col("score") >= emit_floor)
+        )
+        scored = small_scored.select(*key_cols, *score_cols).unionByName(
+            big_scored.select(*key_cols, *score_cols)
+        )
         scored = store.write_round(
             "scored", 0, scored, lineage={"op": "blocking+scoring"}, blocking=False
         )
