@@ -360,6 +360,20 @@ def overestimate_ambig(name: str, ambig: dict[str, float]) -> float:
     return max(a, 1.0)
 
 
+def overestimate_ambig_values(a):
+    """Vectorized ``overestimate_ambig`` over an array of ambiguity values
+    (NLPUtil.pm:4072-4093) — used by the side-table significance pruner."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    out = np.where(
+        a > 200.0,
+        a,
+        np.where(a > 50.0, a * BIG_AMBIG_EST_BOOST, a * SMALL_AMBIG_EST_BOOST),
+    )
+    return np.maximum(out, 1.0)
+
+
 def coauthor_evidence_error(
     author: str,
     coauthor: str,

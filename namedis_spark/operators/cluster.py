@@ -28,12 +28,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     m = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
     m = m.select("u", F.least("mv", "u").alias("m"))
+    # no trailing distinct: duplicate (v, m) rows collapse map-side in
+    # small_star's groupBy(min) anyway, and the round's final distinct
+    # dedups — dropping it removes one full shuffle per CC round
     return (
         nbrs.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

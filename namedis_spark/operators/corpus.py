@@ -230,7 +230,11 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
     return ambig.select("name", "occurrence", F.round("ambig", 6).alias("ambig"))
 
 
-def key_ambiguity_rows(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> list:
+def key_ambiguity_rows(
+    features: DataFrame,
+    rounds: int = AMBIG_MAX_ROUNDS,
+    hits: DataFrame | None = None,
+) -> list:
     """``key_ambiguity`` with the fixed-point iteration run driver-side.
 
     The heavy lifting — name extraction, occurrence counts, seed heuristics
@@ -248,10 +252,21 @@ def key_ambiguity_rows(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> l
     rule, same rounding; float sums may differ in the last ulp from Spark's
     aggregation order, both rounded to 6 decimals).
     """
+    return key_ambiguity_frame(features, rounds=rounds, hits=hits).to_dict("records")
+
+
+def key_ambiguity_frame(
+    features: DataFrame,
+    rounds: int = AMBIG_MAX_ROUNDS,
+    hits: DataFrame | None = None,
+):
+    """``key_ambiguity_rows`` returning the pandas frame (name, occurrence,
+    ambig) directly — the row-dict conversion is O(names) driver time that
+    the pipeline's pruning path never needs."""
     import pandas as pd
 
     names = (
-        conv_author_hits(features)
+        (hits if hits is not None else conv_author_hits(features))
         .groupBy("author")
         .agg(F.count(F.lit(1)).alias("occurrence"))
         .withColumnRenamed("author", "name")
@@ -295,14 +310,100 @@ def key_ambiguity_rows(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> l
             [df["ambig"], refined], axis=1
         ).max(axis=1).clip(upper=df["occurrence"].astype(float))
     df["ambig"] = df["ambig"].round(6)
-    return df[["name", "occurrence", "ambig"]].to_dict("records")
+    return df[["name", "occurrence", "ambig"]]
 
 
-def coauthor_stats(features: DataFrame) -> DataFrame:
+def prune_evidence_tables(
+    amb_pdf,
+    cn_pdf,
+    focus_names: set,
+    error_tolerance: float,
+    safety: float = 0.5,
+) -> tuple[dict, dict, float]:
+    """Significance-prune the ambiguity / coauthor-count broadcast dicts.
+
+    The reference's side tables are bounded by the real-world *name
+    vocabulary* (88k Chinese names, 193k coauthor rows — trythres.txt:14-20),
+    so it can hold them in RAM. A corpus-derived table over 10^12 turns is
+    NOT bounded: synthetic/long-tail participant names grow linearly with
+    the corpus, and collecting + broadcasting millions of entries serializes
+    on the driver — the single biggest Amdahl term in the pipeline.
+
+    Pruning is *decision-lossless* (up to the ``safety`` margin): an entry
+    is dropped only when NO downstream predicate can observe the difference
+    between its true value and the absent-default, for ANY focus name in the
+    corpus. The predicates (functions/core.py) and their flip thresholds,
+    with oe(x) = overestimate_ambig(x), total = Σ ambig, ε = tolerance,
+    M_f = max coauthor-count over focus names, oe_f = max oe over focus:
+
+    * strong-evidence filter ``keep(c)`` (NLPUtil.pm:4207-4217):
+      flips only if  cnt(c)+1 > 2ε·total/oe_f   or  oe(c) > 2ε·total/(M_f+1)
+    * coauthor evidence error ≤ ε (NLPUtil.pm:4096-4137):
+      e1 flips only if cnt(c)+1 > 2ε·total/oe_f ; e2 only if
+      oe(c) > 2ε·total/(M_f+1)
+    * stage-2 boost vs its 2.0 cap (ConceptNet.pm:6309-6358):
+      flips only if cnt(c)+1 > total/(2·oe_f)  or  oe(c) > total/(2(M_f+1))
+      — both weaker than the ε-bounds at ε ≤ 0.25.
+
+    So: drop from ambig iff non-focus and oe(c) ≤ safety·2ε·total/(M_f+1);
+    drop from cn_counts iff non-focus and additionally
+    cnt(c)+1 ≤ safety·2ε·total/oe_f. Focus names are always kept (they feed
+    ``is_ambiguous``, the gate threshold and per-block evidence thresholds).
+    At fixture scale the thresholds are below every entry and nothing is
+    dropped — parity tests see byte-identical behavior.
+
+    Returns (ambig_dict, cn_counts_dict, ambig_sum_total) where the total is
+    over the FULL table (it is a person-count scale factor, not a dict).
+    """
+    from namedis_spark.functions.core import overestimate_ambig_values
+
+    total = float(amb_pdf["ambig"].sum())
+    oe = overestimate_ambig_values(amb_pdf["ambig"].to_numpy())
+    is_focus = amb_pdf["name"].isin(focus_names).to_numpy()
+
+    merged_cn = cn_pdf.merge(
+        amb_pdf[["name"]].assign(
+            _oe=oe, _focus=is_focus
+        ),
+        on="name",
+        how="left",
+    )
+    cn_oe = merged_cn["_oe"].fillna(0.0).to_numpy()
+    cn_focus = merged_cn["_focus"].fillna(False).to_numpy(dtype=bool)
+    cnt = merged_cn["n_coauthors"].to_numpy(dtype=float)
+
+    if is_focus.any():
+        focus_cn = merged_cn.loc[cn_focus, "n_coauthors"]
+        m_f = float(focus_cn.max()) if len(focus_cn) else 0.0
+        oe_f = float(oe[is_focus].max())
+    else:  # degenerate corpus: keep everything
+        m_f = float("inf")
+        oe_f = float("inf")
+
+    eps2total = 2.0 * error_tolerance * total
+    amb_sig = safety * eps2total / (m_f + 1.0) if m_f != float("inf") else 0.0
+    cnt_sig = safety * eps2total / oe_f if oe_f not in (0.0, float("inf")) else 0.0
+
+    keep_amb = is_focus | (oe > amb_sig)
+    ambig = dict(
+        zip(amb_pdf["name"].to_numpy()[keep_amb], amb_pdf["ambig"].to_numpy()[keep_amb])
+    )
+    keep_cn = cn_focus | (cnt + 1.0 > cnt_sig) | (cn_oe > amb_sig)
+    cn_counts = dict(
+        zip(
+            merged_cn["name"].to_numpy()[keep_cn],
+            cnt[keep_cn],
+        )
+    )
+    return ambig, cn_counts, max(1.0, total)
+
+
+def coauthor_stats(features: DataFrame, hits: DataFrame | None = None) -> DataFrame:
     """Per-name coauthor counts (cnambig.pl:239-271; loader
     NLPUtil.pm:1951-2001): (name, n_coauthors). Feeds the evidence-error
     machinery (cn_coauthor_count)."""
-    hits = conv_author_hits(features)
+    if hits is None:
+        hits = conv_author_hits(features)
     pairs = (
         hits.alias("a")
         .join(hits.alias("b"), "conv_id")

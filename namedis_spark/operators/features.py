@@ -51,21 +51,18 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
     )
 
     # venue = dominant tool (mode, ties broken lexicographically ascending;
-    # nulls → 'UNKNOWN'). min_by over struct(-count, tool) gives a
-    # deterministic mode; both aggregates are map-side combinable, which is
-    # what matters at 10^12 turns.
-    dominant_tool = (
-        t.where(F.col("tool").isNotNull())
-        .groupBy("conv_id", "tool")
-        .count()
-        .withColumn("neg", -F.col("count"))
-        .groupBy("conv_id")
-        .agg(F.min_by("tool", F.struct(F.col("neg"), F.col("tool"))).alias("venue"))
+    # no tools → 'UNKNOWN'), derived from the already-collected tools_arr —
+    # min over struct(-count, tool) — instead of a separate scan + groupBy +
+    # join of the full turn table: one fewer input pass and one fewer
+    # 10^12-row shuffle.
+    dominant = F.expr(
+        """array_min(transform(array_distinct(tools_arr),
+               t -> struct(-size(filter(tools_arr, x -> x = t)) as neg,
+                           t as tool))).tool"""
     )
 
     feats = (
-        per_conv.join(dominant_tool, "conv_id", "left")
-        .withColumn("venue", F.coalesce(F.col("venue"), F.lit("UNKNOWN")))
+        per_conv.withColumn("venue", F.coalesce(dominant, F.lit("UNKNOWN")))
         .withColumn("block_key", F.col("focus_name"))
         .withColumn(
             "coauthors",

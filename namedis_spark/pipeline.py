@@ -103,26 +103,45 @@ def run(
             big_feats, max_evidence_df=params.max_evidence_df
         ).persist()
 
+    # (author, conv) participation pairs feed both the ambiguity seed and
+    # the coauthor stats — materialize the explode+distinct once
+    hits = corpus.conv_author_hits(features).persist()
+
     with ThreadPoolExecutor(max_workers=6) as ex:
         f_pairs = ex.submit(lambda: pairs.count() if pairs is not None else 0)
         f_amb = ex.submit(
-            lambda: corpus.key_ambiguity_rows(features, rounds=ambiguity_rounds)
+            lambda: corpus.key_ambiguity_frame(
+                features, rounds=ambiguity_rounds, hits=hits
+            )
         )
-        f_co = ex.submit(lambda: corpus.coauthor_stats(features).collect())
+        f_co = ex.submit(
+            lambda: corpus.coauthor_stats(features, hits=hits).toPandas()
+        )
+        f_focus = ex.submit(lambda: sizes.select("block_key").toPandas())
         f_idf = ex.submit(lambda: corpus.term_idf(features).collect())
         f_ts = ex.submit(lambda: corpus.tool_simi(features).collect())
         f_ic = ex.submit(lambda: corpus.term_ic(features).collect())
-        amb_rows, co_rows, idf_rows, ts_rows, ic_rows = (
-            f_amb.result(), f_co.result(), f_idf.result(), f_ts.result(), f_ic.result()
+        amb_pdf, co_pdf, focus_pdf, idf_rows, ts_rows, ic_rows = (
+            f_amb.result(), f_co.result(), f_focus.result(),
+            f_idf.result(), f_ts.result(), f_ic.result(),
         )
         f_pairs.result()
+    hits.unpersist()
 
     from namedis_spark.operators.scoring import SideTables
 
     side = SideTables()
-    side.ambig = {r["name"]: float(r["ambig"]) for r in amb_rows}
-    side.ambig_sum_total = max(1.0, sum(side.ambig.values()))
-    side.cn_counts = {r["name"]: float(r["n_coauthors"]) for r in co_rows}
+    # decision-lossless pruning keeps the broadcast dicts bounded by the
+    # hub/ambiguous/focus names that can actually flip a predicate — the
+    # full corpus name table never rides a broadcast (corpus.py docstring)
+    side.ambig, side.cn_counts, side.ambig_sum_total = (
+        corpus.prune_evidence_tables(
+            amb_pdf,
+            co_pdf,
+            set(focus_pdf["block_key"]),
+            params.error_tolerance,
+        )
+    )
     side.idf = {r["term"]: float(r["idf"]) for r in idf_rows}
     tool_map: dict[str, list[tuple[str, float]]] = {}
     for r in ts_rows:
