@@ -287,29 +287,39 @@ def key_ambiguity_frame(
             ).alias("seed"),
         )
     )
+    # surname/givenname split in Spark (JVM string ops beat 10M-row pandas
+    # object ops); the iteration itself runs on integer codes + bincount —
+    # per round it is two O(names) gathers, not string groupbys.
     df = (
         names.join(clust_est, "name", "left")
         .withColumn("ambig", F.coalesce(F.col("seed"), F.lit(1.0)))
-        .select("name", "occurrence", "ambig")
+        .withColumn("surname", F.element_at(F.split("name", " "), -1))
+        .withColumn("givenname", F.element_at(F.split("name", " "), 1))
+        .select("name", "occurrence", "ambig", "surname", "givenname")
         .toPandas()
     )
-    parts = df["name"].str.split(" ")
-    df["surname"] = parts.str[-1]
-    df["givenname"] = parts.str[0]
+    import numpy as np
+
+    s_code = pd.factorize(df["surname"])[0]
+    g_code = pd.factorize(df["givenname"])[0]
+    ambig = df["ambig"].to_numpy(dtype=np.float64).copy()
+    occ = df["occurrence"].to_numpy(dtype=np.float64)
 
     prev_total = None
     for _ in range(rounds):
-        total = float(df["ambig"].sum())
+        total = float(ambig.sum())
         if prev_total is not None and abs(total - prev_total) < AMBIG_CONVERGE_ABS:
             break
         prev_total = total
-        s_sum = df.groupby("surname")["ambig"].transform("sum")
-        g_sum = df.groupby("givenname")["ambig"].transform("sum")
-        refined = ((s_sum / total) * (g_sum / total) * AMBIG_ITER_SCALE * total).round(6)
-        df["ambig"] = pd.concat(
-            [df["ambig"], refined], axis=1
-        ).max(axis=1).clip(upper=df["occurrence"].astype(float))
-    df["ambig"] = df["ambig"].round(6)
+        s_sum = np.bincount(s_code, weights=ambig)
+        g_sum = np.bincount(g_code, weights=ambig)
+        refined = np.round(
+            (s_sum[s_code] / total) * (g_sum[g_code] / total)
+            * AMBIG_ITER_SCALE * total,
+            6,
+        )
+        ambig = np.minimum(np.maximum(ambig, refined), occ)
+    df["ambig"] = np.round(ambig, 6)
     return df[["name", "occurrence", "ambig"]]
 
 
