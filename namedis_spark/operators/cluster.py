@@ -39,6 +39,63 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _contract_local(edges: DataFrame) -> DataFrame:
+    """Partition-local contraction: replace each partition's edge set with
+    its local star graph (node → partition-local component min).
+
+    Exactness: contraction only collapses paths the star rounds would have
+    collapsed anyway, so the global component structure is unchanged — but
+    the rounds start from a near-star graph and converge in ~1 round
+    instead of O(log diameter), and each round's input is ~#nodes rows
+    instead of #edges. Deterministic: the component representative is
+    canonicalized to the min node id per local component (groupby-min on
+    strings), independent of row arrival order. Vectorized end-to-end
+    (factorize + numpy label propagation with pointer jumping), no per-row
+    Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def contract(batches):
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"])
+            dsts.append(pdf["dst"])
+        if not srcs:
+            yield pd.DataFrame({"src": pd.Series(dtype=object),
+                                "dst": pd.Series(dtype=object)})
+            return
+        src = pd.concat(srcs, ignore_index=True)
+        dst = pd.concat(dsts, ignore_index=True)
+        codes, uniques = pd.factorize(pd.concat([src, dst], ignore_index=True))
+        n = len(uniques)
+        m = len(src)
+        cs, cd = codes[:m], codes[m:]
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            prev = lab
+            # relax every edge toward the smaller label, both directions
+            emin = np.minimum(lab[cs], lab[cd])
+            lab = lab.copy()
+            np.minimum.at(lab, cs, emin)
+            np.minimum.at(lab, cd, emin)
+            # pointer jumping: collapse label chains to roots
+            while True:
+                nxt = lab[lab]
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            if np.array_equal(lab, prev):
+                break
+        nodes = pd.Series(uniques)
+        rep = nodes.groupby(lab).transform("min")
+        keep = (nodes != rep).to_numpy()
+        yield pd.DataFrame({"src": nodes[keep], "dst": rep[keep]})
+
+    return edges.repartition("src").mapInPandas(contract, "src string, dst string")
+
+
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges toward the smaller endpoint; for each node u with
     smaller neighbors N: m = min(N ∪ {u}); emit (v, m) for v ∈ N ∪ {u},
@@ -73,14 +130,22 @@ def connected_components(
     """
     e = edges.select(
         F.col("src").cast("string"), F.col("dst").cast("string")
-    ).where(F.col("src") != F.col("dst")).distinct()
+    ).where(F.col("src") != F.col("dst"))
 
     start_round = 0
+    resumed = False
     if store is not None and resume:
         latest = store.latest_round(name)
         if latest is not None:
             e = store.read_round(name, latest)
             start_round = latest + 1
+            resumed = True
+    if not resumed:
+        # local contraction absorbs the initial distinct (union-find dedups
+        # implicitly) and hands the rounds a near-star graph; eager
+        # checkpoint: the star round references its input several times and
+        # must not re-run the Python contraction per reference
+        e = _contract_local(e).localCheckpoint(eager=True)
 
     def _stats(df: DataFrame) -> tuple[int, int]:
         row = df.agg(

@@ -136,6 +136,51 @@ def term_idf(features: DataFrame) -> DataFrame:
     )
 
 
+def term_stats_rows(features: DataFrame) -> list:
+    """One-scan term statistics: (term, df, freq) per term. Feeds both the
+    idf dict (log(N/df)) and the IC dict (log(MC) − log(freq) with category
+    pass-up) driver-side — ``term_idf`` and ``term_ic`` each rescan the
+    corpus for one aggregate; the pipeline wants both from a single
+    explode+groupBy job (the collected table is vocab-sized, not
+    corpus-sized)."""
+    return (
+        features.select("conv_id", F.explode("term_freq").alias("term", "tfreq"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tfreq").alias("freq"))
+        .collect()
+    )
+
+
+def idf_ic_from_stats(term_rows: list, n_convs: int) -> tuple[dict, dict]:
+    """Derive (idf dict, cat-IC dict) from ``term_stats_rows`` output,
+    matching ``term_idf`` / ``term_ic`` semantics (same formulas, same
+    6-decimal rounding)."""
+    import math
+
+    idf = {
+        r["term"]: round(math.log(float(n_convs) / r["df"]), 6) for r in term_rows
+    }
+    cat_freq: dict[str, float] = {}
+    mc = 0.0
+    for r in term_rows:
+        f = float(r["freq"])
+        mc = max(mc, f)
+        t = r["term"]
+        # term_category analog: termXXXX → cat_{XXXX mod 40}
+        if t.startswith("term") and t[4:].isdigit():
+            c = f"cat_{int(t[4:]) % 40:02d}"
+            cat_freq[c] = cat_freq.get(c, 0.0) + f
+    cat_ic = {}
+    if cat_freq:
+        mc = max(mc, max(cat_freq.values()) * TAXO_ATTENUATION)
+        log_mc = math.log(mc)
+        cat_ic = {
+            c: round(log_mc - math.log(f * TAXO_ATTENUATION), 6)
+            for c, f in cat_freq.items()
+        }
+    return idf, cat_ic
+
+
 def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFrame:
     """Name-ambiguity fixed point (cnambig.pl:452-782), as an iterative
     DataFrame job (driver-controlled loop, like ALS/PageRank).
@@ -411,17 +456,27 @@ def prune_evidence_tables(
 def coauthor_stats(features: DataFrame, hits: DataFrame | None = None) -> DataFrame:
     """Per-name coauthor counts (cnambig.pl:239-271; loader
     NLPUtil.pm:1951-2001): (name, n_coauthors). Feeds the evidence-error
-    machinery (cn_coauthor_count)."""
-    if hits is None:
-        hits = conv_author_hits(features)
+    machinery (cn_coauthor_count).
+
+    Join-free: each conversation's author set is already a row-local array,
+    so (name, coauthor) pairs come from a double explode — no shuffle until
+    the countDistinct (which Spark plans as partial-dedup + count, one
+    exchange on name) — instead of a hits⋈hits self-join that shuffles the
+    participation table twice. ``hits`` is accepted for API compatibility
+    but no longer needed."""
+    authors = F.array_union(F.array("focus_name"), "coauthors")
     pairs = (
-        hits.alias("a")
-        .join(hits.alias("b"), "conv_id")
-        .where(F.col("a.author") != F.col("b.author"))
-        .select(F.col("a.author").alias("name"), F.col("b.author").alias("coauthor"))
-        .distinct()
+        features.select(F.explode(authors).alias("name"), authors.alias("_authors"))
+        .select("name", F.explode("_authors").alias("coauthor"))
+        .where(
+            (F.col("name") != F.col("coauthor"))
+            & (F.col("name") != "")
+            & (F.col("coauthor") != "")
+        )
     )
-    return pairs.groupBy("name").agg(F.count(F.lit(1)).alias("n_coauthors"))
+    return pairs.groupBy("name").agg(
+        F.countDistinct("coauthor").alias("n_coauthors")
+    )
 
 
 def tool_simi(features: DataFrame, min_shared: int = 1) -> DataFrame:

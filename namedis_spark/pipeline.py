@@ -103,8 +103,7 @@ def run(
             big_feats, max_evidence_df=params.max_evidence_df
         ).persist()
 
-    # (author, conv) participation pairs feed both the ambiguity seed and
-    # the coauthor stats — materialize the explode+distinct once
+    # (author, conv) participation pairs feed the ambiguity name table
     hits = corpus.conv_author_hits(features).persist()
 
     with ThreadPoolExecutor(max_workers=6) as ex:
@@ -114,16 +113,14 @@ def run(
                 features, rounds=ambiguity_rounds, hits=hits
             )
         )
-        f_co = ex.submit(
-            lambda: corpus.coauthor_stats(features, hits=hits).toPandas()
-        )
-        f_focus = ex.submit(lambda: sizes.select("block_key").toPandas())
-        f_idf = ex.submit(lambda: corpus.term_idf(features).collect())
+        f_co = ex.submit(lambda: corpus.coauthor_stats(features).toPandas())
+        f_focus = ex.submit(lambda: sizes.toPandas())
+        # idf + IC derive from ONE explode+groupBy scan (vocab-sized collect)
+        f_terms = ex.submit(lambda: corpus.term_stats_rows(features))
         f_ts = ex.submit(lambda: corpus.tool_simi(features).collect())
-        f_ic = ex.submit(lambda: corpus.term_ic(features).collect())
-        amb_pdf, co_pdf, focus_pdf, idf_rows, ts_rows, ic_rows = (
+        amb_pdf, co_pdf, focus_pdf, term_rows, ts_rows = (
             f_amb.result(), f_co.result(), f_focus.result(),
-            f_idf.result(), f_ts.result(), f_ic.result(),
+            f_terms.result(), f_ts.result(),
         )
         f_pairs.result()
     hits.unpersist()
@@ -142,16 +139,15 @@ def run(
             params.error_tolerance,
         )
     )
-    side.idf = {r["term"]: float(r["idf"]) for r in idf_rows}
+    side.idf, side.cat_ic = corpus.idf_ic_from_stats(
+        term_rows, int(focus_pdf["n"].sum())
+    )
     tool_map: dict[str, list[tuple[str, float]]] = {}
     for r in ts_rows:
         tool_map.setdefault(r["tool1"], []).append((r["tool2"], float(r["linreg_simi"])))
     for v in tool_map.values():
         v.sort(key=lambda kv: (-kv[1], kv[0]))
     side.tool_simi_map = tool_map
-    side.cat_ic = {
-        r["term"]: float(r["ic"]) for r in ic_rows if r["term"].startswith("cat_")
-    }
     tick("side_tables")
 
     # -- blocking + scoring (stage snapshot) ------------------------------

@@ -33,6 +33,10 @@ _DEFAULTS = {
     # task granularities that ride out stragglers; byte-light JVM shuffles
     # still coalesce (minPartitionSize floor applies).
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    # the pipeline launches its independent side-table jobs from driver
+    # threads; FAIR round-robins task slots across them so one long job
+    # can't convoy the small ones behind it (FIFO would)
+    "spark.scheduler.mode": "FAIR",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
