@@ -368,6 +368,87 @@ def key_ambiguity_frame(
     return df[["name", "occurrence", "ambig"]]
 
 
+def name_part_probs(features: DataFrame, rounds: int = 1) -> DataFrame:
+    """Surname/givenname frequency + probability tables
+    (cnambig.pl:420-439,583-782: the SURNAMES / GIVEN_NAMES sections of
+    ambiguity.csv): per name part, the summed ambiguity mass and its
+    probability P(part) = Σ ambig / Σ_total ambig after ``rounds`` rounds of
+    the fixed point. Returns (kind, part, n_names, ambig_sum, prob)."""
+    amb = key_ambiguity(features, rounds=rounds)
+    amb = amb.withColumn(
+        "surname", F.element_at(F.split("name", " "), -1)
+    ).withColumn("givenname", F.element_at(F.split("name", " "), 1))
+    total = amb.agg(F.sum("ambig")).collect()[0][0] or 1.0
+    out = None
+    for kind, col in (("surname", "surname"), ("givenname", "givenname")):
+        part = amb.groupBy(F.col(col).alias("part")).agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.round(F.sum("ambig"), 6).alias("ambig_sum"),
+        ).select(
+            F.lit(kind).alias("kind"),
+            "part",
+            "n_names",
+            "ambig_sum",
+            F.round(F.col("ambig_sum") / F.lit(float(total)), 6).alias("prob"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+IC_OFFSET = 3.5  # setICOffset (clust.pl:277)
+LCS_MAX_DEPTH_SUM = 3  # leastCommonSubsumer depth gate (ConceptNet.pm:5630-5655)
+
+
+def term_closeness(features: DataFrame, category_expr=None) -> DataFrame:
+    """Concept/LCS closeness (calcTermCloseness, ConceptNet.pm:5630-5655;
+    leastCommonSubsumer, ConceptNet.pm:3283-3361): for term pairs whose
+    least common subsumer lies within combined depth ≤ 3, closeness =
+    IC(lcs) − ICOffset.
+
+    Under the synthetic 3-level taxonomy (term → cat → supercat → root,
+    build_taxonomy) the depth gate admits exactly the same-category pairs
+    (depth-sum 2); same-supercat pairs sit at depth-sum 4 and are gated
+    out, mirroring how the reference rejects distant subsumers. Returns
+    (term1, term2, lcs, closeness) for distinct co-categorized terms.
+
+    ``category_expr`` overrides the term→category edge function (default:
+    the pipeline's synthetic termNNNN taxonomy); callers running over a
+    different vocabulary supply their own deterministic mapping."""
+    tf = (
+        features.select(F.explode("term_freq").alias("term", "freq"))
+        .groupBy("term")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    cat_fn = category_expr if category_expr is not None else term_category
+    cat = tf.withColumn("cat", cat_fn(F.col("term"))).where(
+        F.col("cat").isNotNull()
+    )
+    cat_freq = (
+        cat.groupBy("cat")
+        .agg((F.sum("freq") * TAXO_ATTENUATION).alias("freq"))
+        .withColumnRenamed("cat", "term")
+    )
+    mc = (
+        tf.select(F.max("freq").alias("m"))
+        .unionByName(cat_freq.select(F.max("freq").alias("m")))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    cat_ic = cat_freq.select(
+        F.col("term").alias("lcs"),
+        F.round(F.log(F.lit(float(mc))) - F.log("freq"), 6).alias("ic"),
+    )
+    a = cat.select(F.col("term").alias("term1"), F.col("cat").alias("lcs"))
+    b = cat.select(F.col("term").alias("term2"), F.col("cat").alias("lcs"))
+    pairs = a.join(b, "lcs").where(F.col("term1") < F.col("term2"))
+    return pairs.join(F.broadcast(cat_ic), "lcs").select(
+        "term1",
+        "term2",
+        "lcs",
+        F.round(F.col("ic") - F.lit(IC_OFFSET), 6).alias("closeness"),
+    )
+
+
 def prune_evidence_tables(
     amb_pdf,
     cn_pdf,

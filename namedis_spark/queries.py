@@ -1084,6 +1084,170 @@ def key_ambiguity_q(spark, sf_dir):
     return key_ambiguity(_features(spark, sf_dir))
 
 
+_DUCK_AMBIG_R1 = (
+    _DUCK_FEATURES
+    + f""",
+    hits AS (
+        SELECT DISTINCT conv_id, {norm_name_expr('role', 'duckdb')} AS name
+        FROM transcripts
+    ),
+    names AS (SELECT name, CAST(count(*) AS bigint) AS occurrence FROM hits GROUP BY 1),
+    seed AS (
+        SELECT focus_name AS name,
+               greatest(1.0, round(0.9 * count(DISTINCT venue)
+                                   - 1.3 * (CASE WHEN count(*) = 1 THEN 1.0 ELSE 0.0 END), 6))
+                   AS seed
+        FROM feats GROUP BY 1
+    ),
+    a0 AS (
+        SELECT n.name, n.occurrence, coalesce(s.seed, 1.0) AS ambig,
+               (string_split(n.name, ' '))[-1] AS surname,
+               (string_split(n.name, ' '))[1] AS givenname
+        FROM names n LEFT JOIN seed s USING (name)
+    ),
+    tot AS (SELECT sum(ambig) AS total FROM a0),
+    sp AS (SELECT surname, sum(ambig) / (SELECT total FROM tot) AS p_s FROM a0 GROUP BY 1),
+    gp AS (SELECT givenname, sum(ambig) / (SELECT total FROM tot) AS p_g FROM a0 GROUP BY 1),
+    a1 AS (
+        SELECT a0.name, a0.occurrence, a0.surname, a0.givenname,
+               round(least(CAST(a0.occurrence AS double),
+                           greatest(a0.ambig,
+                                    round(sp.p_s * gp.p_g * 1.22
+                                          * (SELECT total FROM tot), 6))), 6) AS ambig
+        FROM a0 JOIN sp USING (surname) JOIN gp USING (givenname)
+    ),
+    tot1 AS (SELECT sum(ambig) AS total FROM a1)
+"""
+)
+
+
+@q(
+    "name_part_probs",
+    _DUCK_AMBIG_R1
+    + """
+    SELECT kind, part, n_names, ambig_sum,
+           round(ambig_sum / (SELECT total FROM tot1), 6) AS prob
+    FROM (
+        SELECT 'surname' AS kind, surname AS part,
+               CAST(count(*) AS bigint) AS n_names,
+               round(sum(ambig), 6) AS ambig_sum
+        FROM a1 GROUP BY 2
+        UNION ALL
+        SELECT 'givenname' AS kind, givenname AS part,
+               CAST(count(*) AS bigint) AS n_names,
+               round(sum(ambig), 6) AS ambig_sum
+        FROM a1 GROUP BY 2
+    )
+    """,
+)
+def name_part_probs_q(spark, sf_dir):
+    """surname/givenname frequency + probability decomposition
+    (cnambig.pl:420-439,583-782 — the SURNAMES / GIVEN_NAMES sections of
+    ambiguity.csv); see operators.corpus.name_part_probs."""
+    from namedis_spark.operators.corpus import name_part_probs
+
+    return name_part_probs(_features(spark, sf_dir), rounds=1)
+
+
+_DUCK_TERM_IC = (
+    _DUCK_TRANSCRIPTS
+    + f""",
+    term_occ AS (
+        SELECT term, CAST(count(*) AS bigint) AS freq FROM (
+            SELECT unnest({content_terms_expr('text', 'duckdb')}) AS term FROM transcripts
+        ) GROUP BY 1
+    ),
+    catted AS (
+        SELECT term, freq,
+               CASE WHEN regexp_matches(term, '^term[0-9]+$')
+                    THEN 'cat_' || lpad(CAST(CAST(term[5:] AS int) % 40 AS varchar), 2, '0')
+               END AS cat
+        FROM term_occ
+    ),
+    cat_freq AS (
+        SELECT cat AS term, sum(freq) * 0.8 AS freq FROM catted
+        WHERE cat IS NOT NULL GROUP BY 1
+    ),
+    all_freq AS (
+        SELECT term, CAST(freq AS double) AS freq FROM term_occ
+        UNION ALL SELECT term, freq FROM cat_freq
+    ),
+    mc AS (SELECT max(freq) AS m FROM all_freq)
+"""
+)
+
+
+@q(
+    "term_ic",
+    _DUCK_TERM_IC
+    + """
+    SELECT term, freq, round(ln((SELECT m FROM mc)) - ln(freq), 6) AS ic
+    FROM all_freq
+    """,
+)
+def term_ic_q(spark, sf_dir):
+    """taxonomy term information content (trainDBLPFile + calcNetIC,
+    ConceptNet.pm:5315-5411, 4931-4970): distributed term-freq aggregation
+    with attenuated pass-up to categories, IC = log(MC) − log(freq); see
+    operators.corpus.term_ic."""
+    from namedis_spark.operators.corpus import term_ic
+
+    return term_ic(_features(spark, sf_dir)).select(
+        "term", F.col("freq").cast("double").alias("freq"), "ic"
+    )
+
+
+_DUCK_TERM_IC_LETTER = (
+    _DUCK_TRANSCRIPTS
+    + f""",
+    term_occ AS (
+        SELECT term, CAST(count(*) AS bigint) AS freq FROM (
+            SELECT unnest({content_terms_expr('text', 'duckdb')}) AS term FROM transcripts
+        ) GROUP BY 1
+    ),
+    catted AS (
+        SELECT term, freq, 'cat_' || term[1:1] AS cat FROM term_occ
+    ),
+    cat_freq AS (
+        SELECT cat AS term, sum(freq) * 0.8 AS freq FROM catted
+        WHERE cat IS NOT NULL GROUP BY 1
+    ),
+    all_freq AS (
+        SELECT term, CAST(freq AS double) AS freq FROM term_occ
+        UNION ALL SELECT term, freq FROM cat_freq
+    ),
+    mc AS (SELECT max(freq) AS m FROM all_freq)
+"""
+)
+
+
+@q(
+    "term_closeness_pairs",
+    _DUCK_TERM_IC_LETTER
+    + """,
+    cat_ic AS (
+        SELECT term AS lcs, round(ln((SELECT m FROM mc)) - ln(freq), 6) AS ic
+        FROM cat_freq
+    )
+    SELECT a.term AS term1, b.term AS term2, a.cat AS lcs,
+           round(ci.ic - 3.5, 6) AS closeness
+    FROM catted a JOIN catted b ON a.cat = b.cat AND a.term < b.term
+    JOIN cat_ic ci ON ci.lcs = a.cat
+    WHERE a.cat IS NOT NULL
+    """,
+)
+def term_closeness_q(spark, sf_dir):
+    """concept/LCS closeness (calcTermCloseness, ConceptNet.pm:5630-5655):
+    IC(lcs) − ICOffset for term pairs whose least common subsumer is within
+    combined depth ≤ 3; see operators.corpus.term_closeness. The events
+    vocabulary carries a first-letter category layer (the pipeline's own
+    datagen vocabulary uses the termNNNN→cat taxonomy instead)."""
+    from namedis_spark.operators.corpus import term_closeness
+
+    first_letter = lambda c: F.concat(F.lit("cat_"), F.substring(c, 1, 1))  # noqa: E731
+    return term_closeness(_features(spark, sf_dir), category_expr=first_letter)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 cleaning + training-data text ops (documents table)
 # ---------------------------------------------------------------------------
