@@ -1605,6 +1605,46 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@q("concept_match_titles", None)  # fuzzy windowed matcher — no SQL oracle
+def concept_match_titles(spark, sf_dir):
+    """fuzzy taxonomy concept matching (matchTitle / matchSnippet /
+    calcMatchScore / distributeMatches, ConceptNet.pm:3648-4364; see
+    functions.matcher + operators.concepts): documents matched against a
+    deterministic phrase taxonomy over the corpus vocabulary, term weights
+    from idf. Genuinely non-SQL-expressible (windowed subset enumeration
+    with sequential discount logic) → rows-only check."""
+    import math
+
+    from namedis_spark.functions.matcher import ConceptMatcher
+    from namedis_spark.operators.concepts import concept_match
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    # deterministic taxonomy over the known synthetic vocabulary: engine
+    # phrases with parenthesized disambiguation contexts
+    terms = [
+        "table scan", "hash join", "sort merge join (query engine)",
+        "window agg", "row group (columnar format)", "vector batch",
+        "query plan", "filter", "stream group", "data column",
+        "merge batch", "key value",
+    ]
+    df_rows = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    n = docs.count()
+    tfiaf = {
+        r["w"]: round(math.log(float(n) / r["df"]) + 0.5, 6) for r in df_rows
+    }
+    m = ConceptMatcher(terms, tfiaf)
+    return concept_match(docs, m, id_col="doc_id", text_col="text").select(
+        F.col("id").alias("doc_id"), "term", "weight"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5/2.8 blocking + evidence machinery as first-class verified operators
 # ---------------------------------------------------------------------------
