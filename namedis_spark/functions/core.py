@@ -166,6 +166,139 @@ def cslr_v2(
     return prob, lr
 
 
+def cslr_v1(
+    vv1: dict[str, float],
+    vv2: dict[str, float],
+    known_prior: float = CAT_PRIOR,
+    unknown_prior: float = 0.0,
+    unseen_prior: float = CAT_PRIOR,
+    seen_cancel_unseen_ratio: float = 0.5,
+    outcome_expander: Callable[[dict, dict, float], dict] | None = None,
+    min_odds: float = 0.0,
+    max_counted_freq: float = 4.0,
+    _return_log: bool = False,
+):
+    """CSLR v1 — the obsolete-but-selectable earlier variant
+    (``isSameCategorical``, NLPUtil.pm:3255-3480; version switch
+    clust.pl:95-104). Differences from v2:
+
+    * template pick is a plain OR — smaller freq sum OR fewer outcome types
+      becomes the sample (:3268-3276; v2 guards the key-count test with
+      freq-sum equality, :3501-3513);
+    * the sample's UNSEEN slot holds the unseen outcome *type count*, not
+      the freq sum (:3330-3333);
+    * seen-cancels-unseen: UNSEEN reduced by ⌊seenTypes × ratio⌋ (:3350-3355)
+      instead of v2's ⌊N × 0.3334⌋;
+    * UNKNOWN cancel: sample UNKNOWN freq minus the known-outcome freq sum,
+      capped to the known type count, floored at 1 when positive (:3337-3348);
+    * multinomial priors are added BEFORE the per-outcome freq cap, and the
+      cap applies to the prior-inflated value (:3362-3369; v2 caps the raw
+      freq first, :3527-3533).
+
+    Returns ``(prob, likelihood_ratio)`` (or with log appended when
+    ``_return_log``), with the same ×100 floor logic as v2 (:3461-3476).
+    """
+    s1, s2 = sum(vv1.values()), sum(vv2.values())
+    if s1 < s2 or len(vv1) < len(vv2):
+        multinomial, sample = dict(vv2), dict(vv1)
+    else:
+        multinomial, sample = dict(vv1), dict(vv2)
+
+    unknown_sam = sample.get("UNKNOWN", 0) or 0
+
+    if outcome_expander is not None:
+        multinomial = outcome_expander(multinomial, sample, BASE_SET_EXPANSION_LEAST_SIMI)
+        sample = outcome_expander(sample, multinomial, SAMPLED_SET_EXPANSION_LEAST_SIMI)
+
+    known_sum = 0.0
+    known_cnt = 0
+    seen_cnt = 0
+    unseen_cnt = 0
+    for k in list(sample.keys()):
+        if k == "UNKNOWN":
+            continue
+        known_sum += sample[k]
+        known_cnt += 1
+        if k not in multinomial:
+            unseen_cnt += 1
+            del sample[k]
+        else:
+            seen_cnt += 1
+    if unseen_cnt > 0:
+        sample["UNSEEN"] = unseen_cnt
+
+    if sample.get("UNKNOWN"):
+        after_cancel = sample["UNKNOWN"] - known_sum
+        if after_cancel > 0:
+            sample["UNKNOWN"] = max(1, min(after_cancel, known_cnt))
+        else:
+            del sample["UNKNOWN"]
+    if sample.get("UNSEEN"):
+        reduced = max(0, sample["UNSEEN"] - int(seen_cnt * seen_cancel_unseen_ratio))
+        if reduced > 0:
+            sample["UNSEEN"] = reduced
+        else:
+            del sample["UNSEEN"]
+
+    for k in multinomial:
+        if k != "UNKNOWN":
+            multinomial[k] = min(multinomial[k] + known_prior, max_counted_freq)
+
+    if unseen_cnt:
+        if unknown_sam:
+            if not multinomial.get("UNKNOWN"):
+                denom = unknown_prior + unseen_prior
+                multinomial["UNKNOWN"] = unknown_prior * unseen_prior / denom
+                multinomial["UNSEEN"] = unseen_prior * unseen_prior / denom
+            else:
+                multinomial["UNKNOWN"] += unknown_prior
+                multinomial["UNSEEN"] = unseen_prior
+        else:
+            multinomial["UNSEEN"] = unseen_prior
+    else:
+        if unknown_sam:
+            multinomial["UNKNOWN"] = multinomial.get("UNKNOWN", 0) + unknown_prior
+        multinomial["UNSEEN"] = unseen_prior
+
+    s = sum(multinomial.values())
+    probs = {k: f / s for k, f in multinomial.items()}
+
+    n = sum(sample.values())
+    m = len(multinomial)
+    if n > 20:
+        log_coeff = log_factorial(n)
+        log_prob = 0.0
+        for k, f in sample.items():
+            log_coeff -= log_factorial(f)
+            log_prob += math.log(probs[k]) * f
+        log_prob += log_coeff
+        log_support = log_combination(m + n - 1, n)
+        prob = math.exp(log_prob)
+        lr = math.exp(log_prob + log_support)
+        log_lr = log_prob + log_support
+    else:
+        coeff = factorial(n)
+        prob = 1.0
+        for k, f in sample.items():
+            coeff /= factorial(f)
+            prob *= probs[k] ** f
+        prob *= coeff
+        lr = prob * combination(m + n - 1, n)
+        log_lr = math.log(lr) if lr > 0 else float("-inf")
+
+    if _return_log:
+        return prob, lr, log_lr
+    if lr < min_odds:
+        lr = min_odds if lr * 100 >= min_odds else min_odds / 100
+    return prob, lr
+
+
+def cslr_v1_log(vv1: dict[str, float], vv2: dict[str, float], **kw) -> float:
+    """log(likelihood ratio) of cslr_v1 (no min_odds floor)."""
+    kw.pop("min_odds", None)
+    return cslr_v1(vv1, vv2, min_odds=0.0, _return_log=True, **kw)[2]
+
+
 def cslr_v2_log(vv1: dict[str, float], vv2: dict[str, float], **kw) -> float:
     """log(likelihood ratio) of cslr_v2, computed without exp/underflow
     (no min_odds floor — the floor is linear-space semantics)."""

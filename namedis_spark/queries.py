@@ -847,6 +847,139 @@ _DUCK_CSLR = (
 )
 
 
+_DUCK_CSLR_V1 = (
+    _DUCK_TRANSCRIPTS
+    + f""",
+    rf AS (
+        SELECT conv_id, {norm_name_expr('role', 'duckdb')} AS role,
+               CAST(count(*) AS bigint) AS f
+        FROM transcripts GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT conv_id,
+               min(CASE WHEN turn_idx = 0 THEN {norm_name_expr('role', 'duckdb')} END) AS block_key
+        FROM transcripts GROUP BY conv_id
+    ),
+    sums AS (SELECT conv_id, sum(f) AS s, count(*) AS k FROM rf GROUP BY 1),
+    pairs AS (
+        -- v1 template pick: plain OR of the two conditions (NLPUtil.pm:3268-3276)
+        SELECT ba.block_key, ba.conv_id AS c1, bb.conv_id AS c2,
+               CASE WHEN sa.s < sb.s OR sa.k < sb.k
+                    THEN bb.conv_id ELSE ba.conv_id END AS mult_conv,
+               CASE WHEN sa.s < sb.s OR sa.k < sb.k
+                    THEN ba.conv_id ELSE bb.conv_id END AS samp_conv
+        FROM blocks ba
+        JOIN blocks bb ON ba.block_key = bb.block_key AND ba.conv_id < bb.conv_id
+        JOIN sums sa ON sa.conv_id = ba.conv_id
+        JOIN sums sb ON sb.conv_id = bb.conv_id
+    ),
+    mult AS (
+        -- prior added BEFORE the cap, cap applies to the inflated value
+        -- (NLPUtil.pm:3362-3369)
+        SELECT p.c1, p.c2, r.role, least(r.f + 0.5, 4) AS fprior
+        FROM pairs p JOIN rf r ON r.conv_id = p.mult_conv
+    ),
+    samp AS (
+        SELECT p.c1, p.c2, r.role, CAST(r.f AS double) AS f
+        FROM pairs p JOIN rf r ON r.conv_id = p.samp_conv
+    ),
+    mstats AS (
+        SELECT c1, c2, sum(fprior) + 0.5 AS s, count(*) + 1 AS m
+        FROM mult GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT s.c1, s.c2, s.f, m.fprior
+        FROM samp s LEFT JOIN mult m ON m.c1 = s.c1 AND m.c2 = s.c2 AND m.role = s.role
+    ),
+    sh AS (
+        SELECT c1, c2,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN f END), 0) AS shsum,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN lgamma(f + 1) END), 0) AS lg_fs,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN f * ln(fprior) END), 0) AS f_lnp,
+               coalesce(sum(CASE WHEN fprior IS NOT NULL THEN 1 END), 0) AS seen_cnt,
+               coalesce(sum(CASE WHEN fprior IS NULL THEN 1 END), 0) AS unseen_cnt
+        FROM joined GROUP BY 1, 2
+    ),
+    calc AS (
+        -- UNSEEN = unseen TYPE COUNT minus floor(seenTypes/2)
+        -- (NLPUtil.pm:3330-3333,3350-3355)
+        SELECT p.block_key, p.c1 AS conv_id1, p.c2 AS conv_id2,
+               sh.shsum + greatest(sh.unseen_cnt - floor(sh.seen_cnt * 0.5), 0) AS n,
+               greatest(sh.unseen_cnt - floor(sh.seen_cnt * 0.5), 0) AS ua,
+               sh.lg_fs, sh.f_lnp, sh.shsum, ms.s, ms.m
+        FROM pairs p
+        JOIN sh ON sh.c1 = p.c1 AND sh.c2 = p.c2
+        JOIN mstats ms ON ms.c1 = p.c1 AND ms.c2 = p.c2
+    )
+    SELECT block_key, conv_id1, conv_id2,
+           round(lgamma(n + 1) - lg_fs - lgamma(ua + 1)
+                 + f_lnp - shsum * ln(s)
+                 + ua * (ln(0.5) - ln(s))
+                 + lgamma(m + n) - lgamma(n + 1) - lgamma(m), 6) AS log_cslr
+    FROM calc
+"""
+)
+
+
+@q("cslr_v1_pairs", _DUCK_CSLR_V1)
+def cslr_v1_pairs(spark, sf_dir):
+    """CSLR v1 likelihood ratio (log) — the obsolete-but-selectable earlier
+    variant (isSameCategorical, NLPUtil.pm:3255-3480; version switch
+    clust.pl:95-104), with its seen-cancels-unseen type-count semantics —
+    verified against an independent closed-form SQL oracle."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.core import cslr_v1_log
+
+    t = load_transcripts(spark, sf_dir)
+    rf = t.groupBy(
+        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
+    ).agg(F.count(F.lit(1)).cast("int").alias("f"))
+    vecs = rf.groupBy("conv_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec")
+    )
+    blocks = t.groupBy("conv_id").agg(
+        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    )
+    side = blocks.join(vecs, "conv_id")
+    a = side.select(
+        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
+    )
+    b = side.select(
+        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
+    )
+    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("block_key", T.StringType()),
+            T.StructField("conv_id1", T.StringType()),
+            T.StructField("conv_id2", T.StringType()),
+            T.StructField("log_cslr", T.DoubleType()),
+        ]
+    )
+
+    def udf(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [
+                round(cslr_v1_log(dict(v1), dict(v2)), 6)
+                for v1, v2 in zip(pdf["v1"], pdf["v2"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "block_key": pdf["block_key"],
+                    "conv_id1": pdf["conv_id1"],
+                    "conv_id2": pdf["conv_id2"],
+                    "log_cslr": vals,
+                }
+            )
+
+    return pairs.mapInPandas(udf, schema=out_schema)
+
+
 @q("cslr_role_pairs", _DUCK_CSLR)
 def cslr_role_pairs(spark, sf_dir):
     """CSLR v2 likelihood ratio (log) over per-conversation role-frequency

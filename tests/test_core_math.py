@@ -16,6 +16,7 @@ import pytest
 from namedis_spark.functions.core import (
     combination,
     coauthor_evidence_error,
+    cslr_v1,
     cslr_v2,
     jaro_winkler,
     overestimate_ambig,
@@ -96,6 +97,46 @@ def test_cslr_bigger_side_is_multinomial():
     a = {"x": 5, "y": 2}
     b = {"x": 1, "z": 1}
     assert cslr_v2(a, b) == cslr_v2(b, a)
+
+
+def test_cslr_v1_template_pick_plain_or():
+    # v1 picks the multinomial by a plain OR (NLPUtil.pm:3268-3276): vv1 has
+    # the BIGGER freq sum but FEWER keys, so it still becomes the sample.
+    # mult = vv2 = {a,x,y} + priors → {1.5,1.5,1.5, UNSEEN:0.5}, s=5.
+    # sample = {a:2, b:2} → b unseen (1 type), seen-cancel ⌊1·0.5⌋=0 →
+    # sample {a:2, UNSEEN:1}, N=3: prob = 3!/2! · 0.3² · 0.1 = 0.027,
+    # support C(6,3)=20 → lr = 0.54.
+    _, lr = cslr_v1({"a": 2, "b": 2}, {"a": 1, "x": 1, "y": 1})
+    assert lr == pytest.approx(0.54)
+    _, lr2 = cslr_v2({"a": 2, "b": 2}, {"a": 1, "x": 1, "y": 1})
+    assert lr2 != pytest.approx(lr)  # v2 picks vv1 as template instead
+
+
+def test_cslr_v1_prior_before_cap():
+    # v1 adds the prior BEFORE capping (NLPUtil.pm:3362-3369): a freq-4
+    # outcome stays at 4.0 (not 4.5 as in v2).
+    # mult {a: min(4+0.5, 4)=4, UNSEEN: 0.5}, s=4.5; sample {a:1}:
+    # prob = 4/4.5, support C(2,1)=2 → lr = 16/9.
+    _, lr1 = cslr_v1({"a": 4}, {"a": 1})
+    assert lr1 == pytest.approx(16.0 / 9.0)
+    _, lr2 = cslr_v2({"a": 4}, {"a": 1})
+    assert lr2 == pytest.approx(0.9 * 2)
+
+
+def test_cslr_v1_unseen_type_count_and_seen_cancel():
+    # UNSEEN holds the unseen TYPE COUNT (not freq sum, NLPUtil.pm:3330-3333)
+    # reduced by ⌊seenTypes·0.5⌋ (:3350-3355).
+    # sample {a:1, x:5}: x → UNSEEN=1 type (not 5); seen_cnt=1 → cancel 0.
+    # mult {a: min(10+.5,4)=4, b: 4, UNSEEN: .5}, s=8.5; sample {a:1,UNSEEN:1},
+    # N=2: prob = 2!·(4/8.5)·(0.5/8.5); support C(4,2)=6.
+    _, lr = cslr_v1({"a": 10, "b": 10}, {"a": 1, "x": 5})
+    expected = 2 * (4 / 8.5) * (0.5 / 8.5) * 6
+    assert lr == pytest.approx(expected)
+    # two seen types cancel ⌊2·0.5⌋=1 of two unseen types:
+    # mult → all 1.5 ×4 + UNSEEN .5, s=6.5; sample {a:1,b:1,UNSEEN:1}, N=3
+    _, lr2 = cslr_v1({"a": 1, "b": 1, "c": 1, "d": 1}, {"a": 1, "b": 1, "x": 1, "y": 1})
+    p = (1.5 / 6.5) ** 2 * (0.5 / 6.5) * 6
+    assert lr2 == pytest.approx(p * combination(7, 3))
 
 
 def test_jaccard_freq_and_type_modes():
