@@ -78,6 +78,94 @@ def normalize_name_key(name: str | None) -> str:
     return " ".join(sorted(parts))
 
 
+# ---------------------------------------------------------------------------
+# Pinyin name classifier (isChineseName, NLPUtil.pm:1680-1710; syllable
+# table loaded by loadPinyin, NLPUtil.pm:1339-1368). The syllabary is
+# generated from the standard Hanyu Pinyin initial × final table (public
+# inventory) instead of shipping a data file; both the Spark implementation
+# and the SQL oracle consume this same generated list, so minor inventory
+# edge cases cannot cause cross-engine drift.
+# ---------------------------------------------------------------------------
+
+_ZERO_INITIAL = (
+    "a o e ai ei ao ou an en ang eng er yi ya ye yao you yan yin yang ying "
+    "yong yu yue yuan yun wu wa wo wai wei wan wen wang weng"
+)
+_GKH = "a e ai ei ao ou an en ang eng ong u ua uo uai ui uan un uang"
+_JQX = "i ia ie iao iu ian in iang ing iong u ue uan un"
+_ZCS = "a e i ai ei ao ou an en ang eng ong u uo ui uan un"
+_INITIAL_FINALS: dict[str, str] = {
+    "": _ZERO_INITIAL,
+    "b": "a o ai ei ao an en ang eng i ie iao ian in ing u",
+    "p": "a o ai ei ao ou an en ang eng i ie iao ian in ing u",
+    "m": "a o e ai ei ao ou an en ang eng i ie iao iu ian in ing u",
+    "f": "a o ei ou an en ang eng u",
+    "d": "a e ai ei ao ou an en ang eng i ia iao ie iu ian ing ong u uo ui uan un",
+    "t": "a e ai ao ou an ang eng i iao ie ian ing ong u uo ui uan un",
+    "n": "a e ai ei ao ou an en ang eng i iao ie iu ian in iang ing ong u uo uan",
+    "l": "a e ai ei ao ou an ang eng i ia iao ie iu ian in iang ing ong u uo uan un",
+    "g": _GKH,
+    "k": _GKH,
+    "h": _GKH,
+    "j": _JQX,
+    "q": _JQX,
+    "x": _JQX,
+    "zh": _GKH + " i",
+    "ch": _GKH + " i",
+    "sh": "a e i ai ei ao ou an en ang eng u ua uo uai ui uan un uang",
+    "r": "e i ao ou an en ang eng ong u ua uo ui uan un",
+    "z": _ZCS,
+    "c": _ZCS,
+    "s": _ZCS,
+}
+
+# common two-character surnames (treated as ONE char, NLPUtil.pm:1697-1699)
+TWOCHAR_SURNAMES: tuple[str, ...] = (
+    "ouyang", "shangguan", "sima", "situ", "zhuge", "xiahou", "huangfu",
+    "murong", "dongfang", "linghu",
+)
+
+
+def pinyin_syllables() -> tuple[str, ...]:
+    """The generated syllabary, sorted (≈ pinyin.txt, 407 entries there)."""
+    out = set()
+    for ini, fins in _INITIAL_FINALS.items():
+        for fin in fins.split():
+            out.add(ini + fin)
+    return tuple(sorted(out))
+
+
+_SYLLABLES = frozenset(pinyin_syllables())
+
+
+def chinese_name_chars(name: str | None) -> int:
+    """Character count of a pinyin-decomposable two-part name, else 0
+    (isChineseName, NLPUtil.pm:1680-1710): each part (hyphens stripped) must
+    be one syllable, a two-syllable concatenation, or a two-char surname
+    (counted as one char); a 1↔2-syllable ambiguity resolves to 1 syllable
+    (loadPinyin overwrite order, NLPUtil.pm:1360-1364); total must be 2-3."""
+    if not name:
+        return 0
+    parts = name.lower().split()
+    if len(parts) != 2:
+        return 0
+    chars = 0
+    for p in parts:
+        p = p.replace("-", "")
+        if p in TWOCHAR_SURNAMES:
+            chars += 1
+        elif p in _SYLLABLES:
+            chars += 1
+        elif any(
+            p[:i] in _SYLLABLES and p[i:] in _SYLLABLES
+            for i in range(1, len(p))
+        ):
+            chars += 2
+        else:
+            return 0
+    return chars if 2 <= chars <= 3 else 0
+
+
 def fingerprint(text: str | None) -> str:
     """Document fingerprint: md5 of the lowercased, alnum-only text.
     Portable across Spark (F.md5) and DuckDB (md5)."""

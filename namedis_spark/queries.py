@@ -1738,6 +1738,85 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def _chinese_name_oracle() -> str:
+    from namedis_spark.functions.text import TWOCHAR_SURNAMES, pinyin_syllables
+
+    syl = ", ".join(f"('{s}')" for s in pinyin_syllables())
+    two = ", ".join(f"('{s}')" for s in TWOCHAR_SURNAMES)
+    part_chars = lambda p: f"""
+        CASE WHEN {p} IN (SELECT s FROM two) THEN 1
+             WHEN {p} IN (SELECT s FROM syl) THEN 1
+             WHEN EXISTS (SELECT 1 FROM syl a JOIN syl b ON a.s || b.s = {p})
+                  THEN 2
+        END"""  # noqa: E731
+    return (
+        _DUCK_TRANSCRIPTS
+        + f""",
+    syl(s) AS (VALUES {syl}),
+    two(s) AS (VALUES {two}),
+    names AS (
+        SELECT DISTINCT {norm_name_expr('role', 'duckdb')} AS name FROM transcripts
+    ),
+    pc AS (
+        SELECT name,
+               CASE WHEN len(string_split(name, ' ')) = 2
+                    THEN replace((string_split(name, ' '))[1], '-', '') END AS p1,
+               CASE WHEN len(string_split(name, ' ')) = 2
+                    THEN replace((string_split(name, ' '))[2], '-', '') END AS p2
+        FROM names
+    ),
+    chars AS (
+        SELECT name, {part_chars('p1')} AS c1, {part_chars('p2')} AS c2 FROM pc
+    )
+    SELECT name,
+           CAST(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                          AND c1 + c2 BETWEEN 2 AND 3
+                     THEN c1 + c2 ELSE 0 END AS int) AS cn_chars
+    FROM chars
+    """
+    )
+
+
+@q("chinese_name_flags", _chinese_name_oracle())
+def chinese_name_flags(spark, sf_dir):
+    """pinyin-decomposability name classifier (isChineseName,
+    NLPUtil.pm:1680-1710; syllable table à la loadPinyin:1339-1368, generated
+    from the standard initial×final inventory): per distinct normalized
+    name, the pinyin character count (2-3) or 0."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.text import chinese_name_chars
+
+    t = load_transcripts(spark, sf_dir)
+    names = t.select(
+        F.expr(norm_name_expr("role", "spark")).alias("name")
+    ).distinct()
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("cn_chars", T.IntegerType()),
+        ]
+    )
+
+    def udf(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "name": pdf["name"],
+                    "cn_chars": pd.Series(
+                        [chinese_name_chars(n) for n in pdf["name"]],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    return names.mapInPandas(udf, schema=schema)
+
+
 @q("concept_match_titles", None)  # fuzzy windowed matcher — no SQL oracle
 def concept_match_titles(spark, sf_dir):
     """fuzzy taxonomy concept matching (matchTitle / matchSnippet /

@@ -124,3 +124,19 @@ def test_key_ambiguity_driver_matches_dataframe(spark, data):
     for k, (occ, amb) in want.items():
         assert got[k][0] == occ, k
         assert abs(got[k][1] - amb) <= 2e-6, (k, got[k][1], amb)
+
+
+def test_chinese_name_chars_classifier():
+    # isChineseName semantics (NLPUtil.pm:1680-1710): 2-part pinyin names
+    # count 2-3 chars; two-char surnames count one; others 0
+    from namedis_spark.functions.text import chinese_name_chars
+
+    assert chinese_name_chars("wei wang") == 2
+    assert chinese_name_chars("wang xiaoming") == 3
+    assert chinese_name_chars("mei-ling chen") == 3
+    assert chinese_name_chars("ouyang feng") == 2
+    assert chinese_name_chars("john smith") == 0
+    assert chinese_name_chars("wei") == 0
+    assert chinese_name_chars("") == 0
+    # char count must stay within 2..3: two 2-syllable parts = 4 → 0
+    assert chinese_name_chars("xiaoming meiling") == 0
