@@ -140,12 +140,21 @@ def connected_components(
             e = store.read_round(name, latest)
             start_round = latest + 1
             resumed = True
+    import os
+    import sys
+    import time
+
+    profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+
     if not resumed:
         # local contraction absorbs the initial distinct (union-find dedups
         # implicitly) and hands the rounds a near-star graph; eager
         # checkpoint: the star round references its input several times and
         # must not re-run the Python contraction per reference
+        t0 = time.time()
         e = _contract_local(e).localCheckpoint(eager=True)
+        if profile:
+            print(f"# cc.contract: {time.time() - t0:.2f}s", file=sys.stderr)
 
     def _stats(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -158,12 +167,6 @@ def connected_components(
     # distinct edge set across rounds — piggybacked on the per-round
     # metrics job instead of extra exceptAll shuffles (collision odds
     # ~2^-64; the edge sets are already distinct)
-    import os
-    import sys
-    import time
-
-    profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
-
     prev = None
     for k in range(start_round, max_rounds):
         t0 = time.time()

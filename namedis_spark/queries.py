@@ -448,6 +448,73 @@ def cluster_sizes(spark, sf_dir):
 
 
 @q(
+    "cluster_report",
+    _DUCK_FLAGSHIP.replace(
+        """SELECT bl.block_key, bl.conv_id,
+           coalesce(c.cluster_id, bl.conv_id) AS cluster_id
+    FROM blocks bl LEFT JOIN comp c ON c.node = bl.conv_id""",
+        """, assign AS (
+        SELECT bl.block_key, bl.conv_id,
+               coalesce(c.cluster_id, bl.conv_id) AS cluster_id
+        FROM blocks bl LEFT JOIN comp c ON c.node = bl.conv_id
+    ),
+    yr AS (
+        SELECT conv_id, CAST(year(min(ts)) AS int) AS year_from
+        FROM transcripts GROUP BY 1
+    ),
+    j AS (SELECT a.cluster_id, a.conv_id, y.year_from
+          FROM assign a JOIN yr y USING (conv_id)),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS bigint) AS n_convs
+              FROM j GROUP BY 1),
+    ranked AS (
+        SELECT cluster_id, n_convs,
+               CAST(dense_rank() OVER (ORDER BY n_convs DESC, cluster_id)
+                    AS int) AS cluster_rank
+        FROM sizes
+    )
+    SELECT r.cluster_rank, j.cluster_id, r.n_convs, j.conv_id, j.year_from,
+           CAST(row_number() OVER (PARTITION BY j.cluster_id
+                                   ORDER BY j.year_from, j.conv_id)
+                AS int) AS member_rank
+    FROM j JOIN ranked r USING (cluster_id)""",
+    ),
+)
+def cluster_report(spark, sf_dir):
+    """cluster-file sink ordering (saveClusters, clust.pl:675-725): clusters
+    ranked by size desc (ties by id), members ranked by year within each —
+    the sort is encoded as rank columns so it is verifiable row-order-free.
+    The global size ranking runs on the cluster-summary table (small) and is
+    broadcast back — no single-partition window over the member table."""
+    from pyspark.sql import Window
+
+    assigns = flagship_linkage(spark, sf_dir)
+    feats = _features(spark, sf_dir).select("conv_id", "year_from")
+    j = assigns.join(feats, "conv_id")
+    sizes = j.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_convs"))
+    ranked = sizes.withColumn(
+        "cluster_rank",
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("n_convs"), F.asc("cluster_id")))
+        .cast("int"),
+    )
+    member_rank = (
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy("year_from", "conv_id")
+        )
+        .cast("int")
+    )
+    return (
+        j.join(F.broadcast(ranked), "cluster_id")
+        .withColumn("member_rank", member_rank)
+        .select(
+            "cluster_rank", "cluster_id", "n_convs", "conv_id", "year_from",
+            "member_rank",
+        )
+    )
+
+
+@q(
     "pairwise_f1",
     _DUCK_FLAGSHIP.replace(
         """SELECT bl.block_key, bl.conv_id,

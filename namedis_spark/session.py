@@ -39,6 +39,14 @@ _DEFAULTS = {
     "spark.scheduler.mode": "FAIR",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Input-scan granularity: the default 128MB of COMPRESSED parquet per
+    # split is minutes of decode+tokenize CPU — a medium table then yields
+    # fewer splits than the cluster has cores and the scan stages cap out
+    # at a fraction of the fleet (observed: 9 splits feeding 16 cores).
+    # 32MB keeps scans fine-grained enough to fill every core; when a huge
+    # table would over-split, AQE's size-based coalescing soaks up the
+    # excess — too MANY splits is recoverable, too FEW is not.
+    "spark.sql.files.maxPartitionBytes": "32m",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
