@@ -47,11 +47,13 @@ def _contract_local(edges: DataFrame) -> DataFrame:
     collapsed anyway, so the global component structure is unchanged — but
     the rounds start from a near-star graph and converge in ~1 round
     instead of O(log diameter), and each round's input is ~#nodes rows
-    instead of #edges. Deterministic: the component representative is
-    canonicalized to the min node id per local component (groupby-min on
-    strings), independent of row arrival order. Vectorized end-to-end
-    (factorize + numpy label propagation with pointer jumping), no per-row
-    Python.
+    instead of #edges. The local representative is the min-CODE node
+    (first-seen order within the partition) — cheaper than a min-string
+    groupby, and harmless: the star rounds relabel every component to its
+    global min node id, so the FINAL assignments are identical and
+    deterministic regardless of intra-partition arrival order. Vectorized
+    end-to-end (factorize + numpy label propagation with pointer jumping),
+    no per-row Python.
     """
     import numpy as np
     import pandas as pd
@@ -88,10 +90,9 @@ def _contract_local(edges: DataFrame) -> DataFrame:
                 lab = nxt
             if np.array_equal(lab, prev):
                 break
-        nodes = pd.Series(uniques)
-        rep = nodes.groupby(lab).transform("min")
-        keep = (nodes != rep).to_numpy()
-        yield pd.DataFrame({"src": nodes[keep], "dst": rep[keep]})
+        uniq = np.asarray(uniques, dtype=object)
+        keep = lab != np.arange(n, dtype=np.int64)
+        yield pd.DataFrame({"src": uniq[keep], "dst": uniq[lab[keep]]})
 
     return edges.repartition("src").mapInPandas(contract, "src string, dst string")
 

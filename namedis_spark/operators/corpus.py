@@ -181,7 +181,11 @@ def idf_ic_from_stats(term_rows: list, n_convs: int) -> tuple[dict, dict]:
     return idf, cat_ic
 
 
-def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFrame:
+def key_ambiguity(
+    features: DataFrame,
+    rounds: int = AMBIG_MAX_ROUNDS,
+    hits: DataFrame | None = None,
+) -> DataFrame:
     """Name-ambiguity fixed point (cnambig.pl:452-782), as an iterative
     DataFrame job (driver-controlled loop, like ALS/PageRank).
 
@@ -200,7 +204,7 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
     """
     # every normalized person name in the corpus with its conv count
     names = (
-        conv_author_hits(features)
+        (hits if hits is not None else conv_author_hits(features))
         .groupBy("author")
         .agg(F.count(F.lit(1)).alias("occurrence"))
         .withColumnRenamed("author", "name")
@@ -253,6 +257,10 @@ def key_ambiguity(features: DataFrame, rounds: int = AMBIG_MAX_ROUNDS) -> DataFr
         if prev_total is not None and abs(total - prev_total) < AMBIG_CONVERGE_ABS:
             break
         prev_total = total
+        # no broadcast hint: the part-probability tables can approach the
+        # name table in size (near-unique given names), so forcing a
+        # broadcast serializes megabytes through the driver per round — AQE
+        # picks broadcast itself when a side is actually small
         s_prob = ambig.groupBy("surname").agg((F.sum("ambig") / total).alias("p_s"))
         g_prob = ambig.groupBy("givenname").agg((F.sum("ambig") / total).alias("p_g"))
         ambig = (
@@ -366,6 +374,91 @@ def key_ambiguity_frame(
         ambig = np.minimum(np.maximum(ambig, refined), occ)
     df["ambig"] = np.round(ambig, 6)
     return df[["name", "occurrence", "ambig"]]
+
+
+def prune_evidence_tables_df(
+    amb: DataFrame,
+    cn: DataFrame,
+    focus_keys: DataFrame,
+    error_tolerance: float,
+    safety: float = 0.5,
+) -> tuple[dict, dict, float]:
+    """Distributed twin of ``prune_evidence_tables``: the significance
+    filter runs as DataFrame expressions and ONLY the surviving entries are
+    collected. At corpus scale the raw name/coauthor tables are millions of
+    rows; shipping them through the 2-core driver for a numpy pass is a
+    constant serial cost that caps scaling (Amdahl) — here the driver
+    receives exactly the dict that will be broadcast. Same keep-predicates,
+    same safety margin, same absent-default semantics.
+
+    ``amb``: (name, occurrence, ambig); ``cn``: (name, n_coauthors);
+    ``focus_keys``: one column ``block_key`` of focus names.
+    """
+    from namedis_spark.functions.core import (
+        BIG_AMBIG_EST_BOOST,
+        SMALL_AMBIG_EST_BOOST,
+    )
+
+    oe = F.greatest(
+        F.when(F.col("ambig") > 200.0, F.col("ambig"))
+        .when(F.col("ambig") > 50.0, F.col("ambig") * BIG_AMBIG_EST_BOOST)
+        .otherwise(F.col("ambig") * SMALL_AMBIG_EST_BOOST),
+        F.lit(1.0),
+    )
+    focus = F.broadcast(
+        focus_keys.select(F.col("block_key").alias("name")).distinct()
+        .withColumn("_focus", F.lit(True))
+    )
+    amb2 = amb.join(focus, "name", "left").withColumn("_oe", oe).persist()
+
+    row = amb2.agg(
+        F.sum("ambig").alias("total"),
+        F.max(F.when(F.col("_focus"), F.col("_oe"))).alias("oe_f"),
+    ).collect()[0]
+    total = float(row["total"] or 0.0)
+    oe_f = row["oe_f"]
+
+    # persisted: the coauthor aggregation (a corpus-sized pair explode)
+    # feeds two actions — the m_f aggregate and the survivor collect —
+    # and must run once
+    cn2 = (
+        cn.join(focus, "name", "left")
+        .join(amb2.select("name", "_oe"), "name", "left")
+        .persist()
+    )
+    m_f_row = cn2.agg(
+        F.max(F.when(F.col("_focus"), F.col("n_coauthors"))).alias("m_f")
+    ).collect()[0]
+
+    if oe_f is None:  # degenerate corpus: keep everything
+        amb_sig = cnt_sig = 0.0
+        m_f = None
+    else:
+        m_f = float(m_f_row["m_f"]) if m_f_row["m_f"] is not None else 0.0
+        oe_f = float(oe_f)
+        eps2total = 2.0 * error_tolerance * total
+        amb_sig = safety * eps2total / (m_f + 1.0)
+        cnt_sig = safety * eps2total / oe_f if oe_f else 0.0
+
+    amb_rows = (
+        amb2.where(F.coalesce(F.col("_focus"), F.lit(False)) | (F.col("_oe") > amb_sig))
+        .select("name", "ambig")
+        .collect()
+    )
+    cn_rows = (
+        cn2.where(
+            F.coalesce(F.col("_focus"), F.lit(False))
+            | (F.col("n_coauthors") + 1.0 > cnt_sig)
+            | (F.coalesce(F.col("_oe"), F.lit(0.0)) > amb_sig)
+        )
+        .select("name", "n_coauthors")
+        .collect()
+    )
+    amb2.unpersist()
+    cn2.unpersist()
+    ambig = {r["name"]: float(r["ambig"]) for r in amb_rows}
+    cn_counts = {r["name"]: float(r["n_coauthors"]) for r in cn_rows}
+    return ambig, cn_counts, max(1.0, total)
 
 
 def name_part_probs(features: DataFrame, rounds: int = 1) -> DataFrame:

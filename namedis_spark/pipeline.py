@@ -108,19 +108,26 @@ def run(
 
     with ThreadPoolExecutor(max_workers=6) as ex:
         f_pairs = ex.submit(lambda: pairs.count() if pairs is not None else 0)
-        f_amb = ex.submit(
-            lambda: corpus.key_ambiguity_frame(
-                features, rounds=ambiguity_rounds, hits=hits
+        # distributed ambiguity fixed point + distributed significance
+        # pruning: the driver receives only the pruned dicts that will be
+        # broadcast — the corpus-sized name/coauthor tables never ride a
+        # toPandas through the (constant-sized) driver
+        f_side = ex.submit(
+            lambda: corpus.prune_evidence_tables_df(
+                corpus.key_ambiguity(features, rounds=ambiguity_rounds, hits=hits),
+                corpus.coauthor_stats(features),
+                sizes.select("block_key"),
+                params.error_tolerance,
             )
         )
-        f_co = ex.submit(lambda: corpus.coauthor_stats(features).toPandas())
-        f_focus = ex.submit(lambda: sizes.toPandas())
+        f_n = ex.submit(
+            lambda: sizes.agg(F.sum("n").alias("n")).collect()[0]["n"]
+        )
         # idf + IC derive from ONE explode+groupBy scan (vocab-sized collect)
         f_terms = ex.submit(lambda: corpus.term_stats_rows(features))
         f_ts = ex.submit(lambda: corpus.tool_simi(features).collect())
-        amb_pdf, co_pdf, focus_pdf, term_rows, ts_rows = (
-            f_amb.result(), f_co.result(), f_focus.result(),
-            f_terms.result(), f_ts.result(),
+        pruned, n_convs, term_rows, ts_rows = (
+            f_side.result(), f_n.result(), f_terms.result(), f_ts.result(),
         )
         f_pairs.result()
     hits.unpersist()
@@ -128,20 +135,8 @@ def run(
     from namedis_spark.operators.scoring import SideTables
 
     side = SideTables()
-    # decision-lossless pruning keeps the broadcast dicts bounded by the
-    # hub/ambiguous/focus names that can actually flip a predicate — the
-    # full corpus name table never rides a broadcast (corpus.py docstring)
-    side.ambig, side.cn_counts, side.ambig_sum_total = (
-        corpus.prune_evidence_tables(
-            amb_pdf,
-            co_pdf,
-            set(focus_pdf["block_key"]),
-            params.error_tolerance,
-        )
-    )
-    side.idf, side.cat_ic = corpus.idf_ic_from_stats(
-        term_rows, int(focus_pdf["n"].sum())
-    )
+    side.ambig, side.cn_counts, side.ambig_sum_total = pruned
+    side.idf, side.cat_ic = corpus.idf_ic_from_stats(term_rows, int(n_convs))
     tool_map: dict[str, list[tuple[str, float]]] = {}
     for r in ts_rows:
         tool_map.setdefault(r["tool1"], []).append((r["tool2"], float(r["linreg_simi"])))
