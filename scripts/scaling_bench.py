@@ -74,6 +74,61 @@ spark = get_spark(
     }},
 )
 
+# ---- disjoint core pinning ----------------------------------------------
+# On a real cluster the driver is its OWN node: executors can never borrow
+# its cores. Under a single taskset the 1-executor level's 4 task slots
+# could spill onto the 2 idle driver cores (a 50% budget bonus) while the
+# 4-executor level's 16 slots gain only 12.5% — deflating measured
+# efficiency. So after the executor JVMs register, re-affine the driver
+# process tree to the driver cores and every Worker/Executor JVM to the
+# executor cores; Python UDF daemons fork from executors later (first
+# Python stage = warm-up) and inherit the executor mask.
+import os, subprocess
+
+base = sorted(os.sched_getaffinity(0))
+drv_cores, exec_cores = base[:{dcores}], base[{dcores}:]
+deadline = time.time() + 120
+while time.time() < deadline:
+    up = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    if up >= n_exec:
+        break
+    time.sleep(0.5)
+
+def _pin(pids, cpus):
+    mask = ",".join(str(c) for c in cpus)
+    for pid in pids:
+        subprocess.run(["taskset", "-a", "-p", "-c", mask, str(pid)],
+                       capture_output=True)
+
+def _children(pid):
+    r = subprocess.run(["pgrep", "-P", str(pid)], capture_output=True, text=True)
+    return [int(p) for p in r.stdout.split() if p]
+
+def _descendants(pid):
+    out, stack = [], [pid]
+    while stack:
+        kids = _children(stack.pop())
+        out.extend(kids)
+        stack.extend(kids)
+    return out
+
+def _cmdline(pid):
+    try:
+        with open(f"/proc/{{pid}}/cmdline", "rb") as f:
+            return f.read().decode("utf-8", "replace")
+    except OSError:
+        return ""
+
+# only OUR process tree: driver JVM is this python's child; Worker and
+# executor JVMs are its descendants
+os.sched_setaffinity(0, set(drv_cores))
+drv_jvm = [p for p in _children(os.getpid()) if "java" in _cmdline(p)]
+_pin(drv_jvm, drv_cores)
+for p in _descendants(drv_jvm[0]) if drv_jvm else []:
+    cmd = _cmdline(p)
+    if "CoarseGrainedExecutorBackend" in cmd or "deploy.worker.Worker" in cmd:
+        _pin([p], exec_cores)
+
 # ---- warm-up pass (identical code path, small slice, excluded) ----------
 warm = spark.read.parquet(warm_data)
 res = pipeline.run(spark, warm, tempfile.mkdtemp(dir=ckpt_root, prefix="warm_"))
@@ -96,7 +151,9 @@ spark.stop()
 def run_level(n_exec: int, data: str, warm_data: str) -> dict:
     cores = CORES_PER_EXEC * n_exec + DRIVER_CORES
     with tempfile.TemporaryDirectory(prefix=f"scale_ckpt_{n_exec}x_") as ckpt:
-        script = _RUNNER.format(repo=REPO, cpe=CORES_PER_EXEC, mem=EXEC_MEM_MB)
+        script = _RUNNER.format(
+            repo=REPO, cpe=CORES_PER_EXEC, mem=EXEC_MEM_MB, dcores=DRIVER_CORES
+        )
         env = dict(os.environ)
         env["SPARK_GRAFT_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={DRIVER_CORES}"
         env["SPARK_GRAFT_EXEC_JAVA_OPTS"] = (
