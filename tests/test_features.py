@@ -140,3 +140,34 @@ def test_chinese_name_chars_classifier():
     assert chinese_name_chars("") == 0
     # char count must stay within 2..3: two 2-syllable parts = 4 → 0
     assert chinese_name_chars("xiaoming meiling") == 0
+
+
+def test_prune_evidence_tables_df_matches_numpy(spark, data):
+    """The distributed significance pruner must produce the same dicts and
+    total as the numpy pruner (same keep-predicates and safety margin)."""
+    import pyspark.sql.functions as F
+
+    from namedis_spark.operators import corpus
+    from namedis_spark.operators.features import conversation_features
+
+    t, _, _ = data
+    f = conversation_features(t)
+    amb_df = corpus.key_ambiguity(f, rounds=3)
+    cn_df = corpus.coauthor_stats(f)
+    sizes = f.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+
+    got = corpus.prune_evidence_tables_df(
+        amb_df, cn_df, sizes.select("block_key"), error_tolerance=0.05
+    )
+    amb_pdf = amb_df.toPandas()
+    cn_pdf = cn_df.toPandas()
+    focus = {r["block_key"] for r in sizes.select("block_key").collect()}
+    want = corpus.prune_evidence_tables(amb_pdf, cn_pdf, focus, 0.05)
+
+    assert set(got[0]) == set(want[0])
+    for k, v in want[0].items():
+        assert abs(got[0][k] - v) <= 2e-6, k
+    assert set(got[1]) == set(want[1])
+    for k, v in want[1].items():
+        assert got[1][k] == v, k
+    assert abs(got[2] - want[2]) <= 1e-4
