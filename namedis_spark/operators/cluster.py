@@ -47,13 +47,13 @@ def _contract_local(edges: DataFrame) -> DataFrame:
     collapsed anyway, so the global component structure is unchanged — but
     the rounds start from a near-star graph and converge in ~1 round
     instead of O(log diameter), and each round's input is ~#nodes rows
-    instead of #edges. The local representative is the min-CODE node
-    (first-seen order within the partition) — cheaper than a min-string
-    groupby, and harmless: the star rounds relabel every component to its
-    global min node id, so the FINAL assignments are identical and
-    deterministic regardless of intra-partition arrival order. Vectorized
-    end-to-end (factorize + numpy label propagation with pointer jumping),
-    no per-row Python.
+    instead of #edges. The local representative is the component's MIN NODE
+    ID (computed via one argsort + np.unique, no string groupby): the local
+    star is then already in the star rounds' canonical form, so a
+    fully-local component is a fixpoint immediately and only components
+    spanning partitions consume rounds. Deterministic regardless of
+    intra-partition arrival order. Vectorized end-to-end (factorize + numpy
+    label propagation with pointer jumping), no per-row Python.
     """
     import numpy as np
     import pandas as pd
@@ -91,8 +91,16 @@ def _contract_local(edges: DataFrame) -> DataFrame:
             if np.array_equal(lab, prev):
                 break
         uniq = np.asarray(uniques, dtype=object)
-        keep = lab != np.arange(n, dtype=np.int64)
-        yield pd.DataFrame({"src": uniq[keep], "dst": uniq[lab[keep]]})
+        # canonicalize each component's representative to its min node id:
+        # in string-sorted node order, the first occurrence of each label
+        # is that component's minimum
+        order = np.argsort(uniq, kind="stable")
+        _, first = np.unique(lab[order], return_index=True)
+        rep_of_label = np.empty(n, dtype=np.int64)
+        rep_of_label[lab[order[first]]] = order[first]
+        rep = rep_of_label[lab]
+        keep = rep != np.arange(n, dtype=np.int64)
+        yield pd.DataFrame({"src": uniq[keep], "dst": uniq[rep[keep]]})
 
     return edges.repartition("src").mapInPandas(contract, "src string, dst string")
 
@@ -153,7 +161,14 @@ def connected_components(
         # checkpoint: the star round references its input several times and
         # must not re-run the Python contraction per reference
         t0 = time.time()
-        e = _contract_local(e).localCheckpoint(eager=True)
+        # two passes: the first collapses each hash partition's subgraph to
+        # local stars; the second re-co-locates by src, so a node that
+        # appeared in several partitions (and so carries edges to several
+        # local representatives) bridges those stars. One extra shuffle of
+        # ~#nodes rows buys the star rounds a graph that is already near its
+        # fixpoint — typically two rounds (apply + verify) regardless of the
+        # original diameter.
+        e = _contract_local(_contract_local(e)).localCheckpoint(eager=True)
         if profile:
             print(f"# cc.contract: {time.time() - t0:.2f}s", file=sys.stderr)
 
