@@ -227,7 +227,11 @@ def main() -> None:
         "Confinement: each level is `taskset`-limited to exactly its executor",
         f"cores plus a constant {DRIVER_CORES}-core driver allotment (the driver node of",
         "a real cluster does not grow with the executor fleet), with",
-        "`-XX:ActiveProcessorCount` matching on every JVM. Levels are",
+        "`-XX:ActiveProcessorCount` matching on every JVM. The driver process",
+        "tree and the Worker/Executor JVMs (plus their Python UDF daemons)",
+        "are pinned to DISJOINT core sets, so executors can never borrow",
+        "idle driver cores — as on a real cluster, where the driver is its",
+        "own node. Levels are",
         f"{args.low} vs {args.high} executors x {CORES_PER_EXEC} cores "
         f"({CORES_PER_EXEC * args.low} vs {CORES_PER_EXEC * args.high} executor cores):",
         "this box's per-core multiprocess throughput is flat through 16 busy",
