@@ -447,6 +447,120 @@ def cluster_sizes(spark, sf_dir):
     )
 
 
+_SWEEP_GRID = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+@q(
+    "threshold_sweep",
+    _DUCK_TRANSCRIPTS
+    + ", "
+    + _DUCK_RF
+    + f""",
+    grid(thres) AS (VALUES {', '.join(f'({t})' for t in _SWEEP_GRID)}),
+    truth AS (
+        SELECT b.block_key, b.conv_id,
+               CAST(CAST(b.conv_id AS bigint) % 7 AS varchar) AS entity_id
+        FROM blocks b
+    ),
+    truth_pairs AS (
+        SELECT CAST(sum(n * (n - 1) / 2) AS bigint) AS tp FROM (
+            SELECT block_key, entity_id, count(*) AS n FROM truth GROUP BY 1, 2
+        )
+    ),
+    labeled AS (
+        SELECT j.jaccard,
+               (ta.entity_id = tb.entity_id) AS same
+        FROM jacc j
+        JOIN truth ta ON ta.conv_id = j.conv_id1
+        JOIN truth tb ON tb.conv_id = j.conv_id2
+    ),
+    counts AS (
+        SELECT g.thres,
+               CAST(count(*) FILTER (l.jaccard >= g.thres) AS bigint) AS pred_pairs,
+               CAST(count(*) FILTER (l.jaccard >= g.thres AND l.same) AS bigint)
+                   AS correct_pairs
+        FROM grid g CROSS JOIN labeled l GROUP BY 1
+    )
+    SELECT thres, pred_pairs, correct_pairs,
+           (SELECT tp FROM truth_pairs) AS truth_pairs,
+           round(CASE WHEN pred_pairs > 0
+                      THEN correct_pairs / CAST(pred_pairs AS double) ELSE 0 END, 6) AS p,
+           round(correct_pairs / CAST((SELECT tp FROM truth_pairs) AS double), 6) AS r,
+           round(CASE WHEN correct_pairs > 0
+                      THEN 2.0 * correct_pairs
+                           / (pred_pairs + (SELECT tp FROM truth_pairs))
+                      ELSE 0 END, 6) AS f1
+    FROM counts
+    """,
+)
+def threshold_sweep(spark, sf_dir):
+    """threshold-sweep regression surface (clust.pl:877-893,971-977 `-j
+    lo-hi -d step` grids; best-threshold selection resultstat.pl:211-268):
+    pairwise P/R/F1 of the Jaccard scorer against the synthetic truth at a
+    fixed threshold grid — pairs scored ONCE, every threshold a filter."""
+    jacc = _spark_jaccard_pairs(spark, sf_dir)
+    t = load_transcripts(spark, sf_dir)
+    blocks = t.groupBy("conv_id").agg(
+        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    )
+    truth = blocks.withColumn(
+        "entity_id", (F.col("conv_id").cast("long") % 7).cast("string")
+    )
+    tp = (
+        truth.groupBy("block_key", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("tp"))
+        .collect()[0]["tp"]
+    )
+    labeled = (
+        jacc.join(
+            truth.select(F.col("conv_id").alias("conv_id1"),
+                         F.col("entity_id").alias("e1")),
+            "conv_id1",
+        )
+        .join(
+            truth.select(F.col("conv_id").alias("conv_id2"),
+                         F.col("entity_id").alias("e2")),
+            "conv_id2",
+        )
+        .select("jaccard", (F.col("e1") == F.col("e2")).alias("same"))
+    )
+    grid = spark.createDataFrame([(t,) for t in _SWEEP_GRID], "thres double")
+    counts = (
+        F.broadcast(grid)
+        .crossJoin(labeled)
+        .groupBy("thres")
+        .agg(
+            F.count(F.when(F.col("jaccard") >= F.col("thres"), 1)).alias("pred_pairs"),
+            F.count(
+                F.when((F.col("jaccard") >= F.col("thres")) & F.col("same"), 1)
+            ).alias("correct_pairs"),
+        )
+    )
+    return counts.select(
+        "thres",
+        "pred_pairs",
+        "correct_pairs",
+        F.lit(int(tp)).alias("truth_pairs"),
+        F.round(
+            F.when(
+                F.col("pred_pairs") > 0,
+                F.col("correct_pairs") / F.col("pred_pairs").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("p"),
+        F.round(F.col("correct_pairs") / F.lit(float(tp)), 6).alias("r"),
+        F.round(
+            F.when(
+                F.col("correct_pairs") > 0,
+                2.0 * F.col("correct_pairs")
+                / (F.col("pred_pairs") + F.lit(float(tp))),
+            ).otherwise(0.0),
+            6,
+        ).alias("f1"),
+    )
+
+
 @q(
     "cluster_report",
     _DUCK_FLAGSHIP.replace(
@@ -1347,6 +1461,39 @@ def name_part_probs_q(spark, sf_dir):
     from namedis_spark.operators.corpus import name_part_probs
 
     return name_part_probs(_features(spark, sf_dir), rounds=1)
+
+
+@q(
+    "block_thresholds",
+    _DUCK_AMBIG_R1
+    + """
+    SELECT name AS block_key,
+           CAST(greatest(2, round(0.9 * ambig, 0)) AS int) AS k_est,
+           round(0.05 * greatest(1.0, ambig / 10.0), 6) AS thres
+    FROM a1 WHERE name IN (SELECT focus_name FROM feats)
+    """,
+)
+def block_thresholds(spark, sf_dir):
+    """per-block K and merge-threshold selection (calcKClustThres,
+    clust.pl:296-324: K = scaled ambiguity estimate floored at 2; thres =
+    base 0.05 × max(1, ambig/10))."""
+    from namedis_spark.operators.corpus import key_ambiguity
+
+    f = _features(spark, sf_dir)
+    amb = key_ambiguity(f, rounds=1)
+    focus = f.select(F.col("focus_name").alias("name")).distinct()
+    return (
+        amb.join(focus, "name")
+        .select(
+            F.col("name").alias("block_key"),
+            F.greatest(F.lit(2), F.round(0.9 * F.col("ambig"), 0))
+            .cast("int")
+            .alias("k_est"),
+            F.round(0.05 * F.greatest(F.lit(1.0), F.col("ambig") / 10.0), 6)
+            .alias("thres"),
+        )
+    )
+
 
 
 _DUCK_TERM_IC = (
