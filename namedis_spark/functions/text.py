@@ -166,6 +166,61 @@ def chinese_name_chars(name: str | None) -> int:
     return chars if 2 <= chars <= 3 else 0
 
 
+# Cantonese (HK-conventional romanization) syllabary, generated the same way
+# (loadPinyin also loads cantonpinyin.txt; isCantoneseName NLPUtil.pm:1712-1748)
+_C_INITIALS = (
+    "", "b", "p", "m", "f", "d", "t", "n", "l", "g", "k", "h", "gw", "kw",
+    "w", "y", "ch", "s", "sh", "ts", "j",
+)
+_C_FINALS = (
+    "a aai aau aam aan aang ai au am an ang ap at ak e ei eng ek eung euk "
+    "i iu im in ing ip it ik o oi ou on ong ot ok oon u ui un ung ut uk "
+    "yu yun yut"
+).split()
+
+
+def cantonese_syllables() -> tuple[str, ...]:
+    out = {i + f for i in _C_INITIALS for f in _C_FINALS}
+    out.update(("ng", "m"))  # syllabic nasals (standalone surnames Ng, M)
+    return tuple(sorted(out))
+
+
+_C_SYLLABLES = frozenset(cantonese_syllables())
+
+
+def _syllable_count(p: str, syl: frozenset) -> int:
+    """1 if p is one syllable, 2 if a two-syllable concatenation, else 0
+    (1↔2 ambiguity resolves to 1, loadPinyin overwrite order)."""
+    if p in syl:
+        return 1
+    if any(p[:i] in syl and p[i:] in syl for i in range(1, len(p))):
+        return 2
+    return 0
+
+
+def is_cantonese_name(name: str | None) -> int:
+    """1 when a two-part name reads as Cantonese romanization but NOT as a
+    standard pinyin name (isCantoneseName, NLPUtil.pm:1712-1748): the first
+    part must be 1-2 Cantonese-or-pinyin syllables, the second part exactly
+    one Cantonese syllable, and the pinyin reading (first 1-2 / second 1)
+    must NOT hold. Hyphens are stripped; non-2-part names return 0."""
+    if not name:
+        return 0
+    parts = name.lower().replace("-", "").split()
+    if len(parts) != 2:
+        return 0
+    first, second = parts
+    pin1 = _syllable_count(first, _SYLLABLES)
+    pin2 = _syllable_count(second, _SYLLABLES)
+    if 1 <= pin1 <= 2 and pin2 == 1:
+        return 0
+    can1 = _syllable_count(first, _C_SYLLABLES)
+    can2 = _syllable_count(second, _C_SYLLABLES)
+    if (1 <= can1 <= 2 or 1 <= pin1 <= 2) and can2 == 1:
+        return 1
+    return 0
+
+
 def fingerprint(text: str | None) -> str:
     """Document fingerprint: md5 of the lowercased, alnum-only text.
     Portable across Spark (F.md5) and DuckDB (md5)."""

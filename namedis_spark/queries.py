@@ -2031,6 +2031,93 @@ def chinese_name_flags(spark, sf_dir):
     return names.mapInPandas(udf, schema=schema)
 
 
+def _cantonese_name_oracle() -> str:
+    from namedis_spark.functions.text import (
+        cantonese_syllables,
+        pinyin_syllables,
+    )
+
+    syl = ", ".join(f"('{s}')" for s in pinyin_syllables())
+    csyl = ", ".join(f"('{s}')" for s in cantonese_syllables())
+    cnt = lambda p, tbl: f"""
+        CASE WHEN {p} IN (SELECT s FROM {tbl}) THEN 1
+             WHEN EXISTS (SELECT 1 FROM {tbl} a JOIN {tbl} b ON a.s || b.s = {p})
+                  THEN 2
+             ELSE 0 END"""  # noqa: E731
+    return (
+        _DUCK_TRANSCRIPTS
+        + f""",
+    syl(s) AS (VALUES {syl}),
+    csyl(s) AS (VALUES {csyl}),
+    names AS (
+        SELECT DISTINCT {norm_name_expr('role', 'duckdb')} AS name FROM transcripts
+    ),
+    pc AS (
+        SELECT name,
+               CASE WHEN len(string_split(replace(name, '-', ''), ' ')) = 2
+                    THEN (string_split(replace(name, '-', ''), ' '))[1] END AS p1,
+               CASE WHEN len(string_split(replace(name, '-', ''), ' ')) = 2
+                    THEN (string_split(replace(name, '-', ''), ' '))[2] END AS p2
+        FROM names
+    ),
+    counts AS (
+        SELECT name,
+               {cnt('p1', 'syl')} AS pin1, {cnt('p2', 'syl')} AS pin2,
+               {cnt('p1', 'csyl')} AS can1, {cnt('p2', 'csyl')} AS can2
+        FROM pc WHERE p1 IS NOT NULL
+    )
+    SELECT name,
+           CAST(CASE WHEN pin1 BETWEEN 1 AND 2 AND pin2 = 1 THEN 0
+                     WHEN (can1 BETWEEN 1 AND 2 OR pin1 BETWEEN 1 AND 2)
+                          AND can2 = 1 THEN 1
+                     ELSE 0 END AS int) AS is_cantonese
+    FROM counts
+    UNION ALL
+    SELECT name, 0 FROM pc WHERE p1 IS NULL
+    """
+    )
+
+
+@q("cantonese_name_flags", _cantonese_name_oracle())
+def cantonese_name_flags(spark, sf_dir):
+    """Cantonese-romanization name classifier (isCantoneseName,
+    NLPUtil.pm:1712-1748): two-part names reading as Cantonese (HK
+    conventional) but not as standard pinyin; syllabary generated from the
+    initial×final inventory, shared with the oracle."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.text import is_cantonese_name
+
+    t = load_transcripts(spark, sf_dir)
+    names = t.select(
+        F.expr(norm_name_expr("role", "spark")).alias("name")
+    ).distinct()
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("is_cantonese", T.IntegerType()),
+        ]
+    )
+
+    def udf(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "name": pdf["name"],
+                    "is_cantonese": pd.Series(
+                        [is_cantonese_name(n) for n in pdf["name"]],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    return names.mapInPandas(udf, schema=schema)
+
+
 @q("concept_match_titles", None)  # fuzzy windowed matcher — no SQL oracle
 def concept_match_titles(spark, sf_dir):
     """fuzzy taxonomy concept matching (matchTitle / matchSnippet /

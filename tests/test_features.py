@@ -171,3 +171,15 @@ def test_prune_evidence_tables_df_matches_numpy(spark, data):
     for k, v in want[1].items():
         assert got[1][k] == v, k
     assert abs(got[2] - want[2]) <= 1e-4
+
+
+def test_cantonese_name_classifier():
+    # isCantoneseName (NLPUtil.pm:1712-1748): Cantonese-reading two-part
+    # names flag 1 unless they also read as standard pinyin
+    from namedis_spark.functions.text import is_cantonese_name
+
+    assert is_cantonese_name("kwok chan") == 1
+    assert is_cantonese_name("ka-ming wong") == 1
+    assert is_cantonese_name("wei wang") == 0     # valid pinyin → excluded
+    assert is_cantonese_name("john smith") == 0
+    assert is_cantonese_name("wong") == 0
