@@ -143,12 +143,15 @@ def cslr_v2(
         log_prob = 0.0
         for k, f in sample.items():
             log_coeff -= log_factorial(f)
-            log_prob += math.log(probs[k]) * f
+            p_k = probs[k]
+            # zero-prior outcome → probability 0; agree with the linear
+            # branch's 0**f instead of raising on log(0)
+            log_prob += math.log(p_k) * f if p_k > 0 else float("-inf")
         log_prob += log_coeff
         log_support = log_combination(m + n - 1, n)
-        prob = math.exp(log_prob)
-        lr = math.exp(log_prob + log_support)
+        prob = math.exp(log_prob) if log_prob > float("-inf") else 0.0
         log_lr = log_prob + log_support
+        lr = math.exp(log_lr) if log_lr > float("-inf") else 0.0
     else:
         coeff = factorial(n)
         prob = 1.0
@@ -270,12 +273,16 @@ def cslr_v1(
         log_prob = 0.0
         for k, f in sample.items():
             log_coeff -= log_factorial(f)
-            log_prob += math.log(probs[k]) * f
+            p_k = probs[k]
+            # a zero-prior outcome (e.g. UNKNOWN with unknown_prior=0) has
+            # zero probability: the linear branch yields prob 0 via 0**f;
+            # the log branch must agree, not raise on log(0)
+            log_prob += math.log(p_k) * f if p_k > 0 else float("-inf")
         log_prob += log_coeff
         log_support = log_combination(m + n - 1, n)
-        prob = math.exp(log_prob)
-        lr = math.exp(log_prob + log_support)
+        prob = math.exp(log_prob) if log_prob > float("-inf") else 0.0
         log_lr = log_prob + log_support
+        lr = math.exp(log_lr) if log_lr > float("-inf") else 0.0
     else:
         coeff = factorial(n)
         prob = 1.0
