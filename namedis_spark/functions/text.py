@@ -119,19 +119,32 @@ _INITIAL_FINALS: dict[str, str] = {
     "s": _ZCS,
 }
 
-# common two-character surnames (treated as ONE char, NLPUtil.pm:1697-1699)
+# common two-character surnames (treated as ONE char) — the reference's
+# exact list (NLPUtil.pm:289 @twochar_surname)
 TWOCHAR_SURNAMES: tuple[str, ...] = (
-    "ouyang", "shangguan", "sima", "situ", "zhuge", "xiahou", "huangfu",
-    "murong", "dongfang", "linghu",
+    "ouyang", "shangguan", "duanmu", "sima", "situ", "zhuge", "huangpu",
+    "linghu", "murong",
 )
+
+# Patch sets reconciling the generated initial×final product with the
+# canonical Hanyu Pinyin inventory (reference pinyin.txt, 407 syllables):
+# the ü-romanizations (lv/nv/lue/nue) and the interjection syllables
+# (lo/yo) are real; six product artifacts (cei/chei/den/dia/rua/sei) are
+# not pinyin syllables.
+_PINYIN_ADD = ("lo", "lue", "lv", "nue", "nv", "yo")
+_PINYIN_REMOVE = frozenset(("cei", "chei", "den", "dia", "rua", "sei"))
 
 
 def pinyin_syllables() -> tuple[str, ...]:
-    """The generated syllabary, sorted (≈ pinyin.txt, 407 entries there)."""
+    """The syllabary, sorted — generated initial×final product patched to
+    the canonical 407-entry inventory (matches pinyin.txt exactly; a test
+    asserts the count)."""
     out = set()
     for ini, fins in _INITIAL_FINALS.items():
         for fin in fins.split():
             out.add(ini + fin)
+    out.difference_update(_PINYIN_REMOVE)
+    out.update(_PINYIN_ADD)
     return tuple(sorted(out))
 
 
@@ -166,23 +179,40 @@ def chinese_name_chars(name: str | None) -> int:
     return chars if 2 <= chars <= 3 else 0
 
 
-# Cantonese (HK-conventional romanization) syllabary, generated the same way
-# (loadPinyin also loads cantonpinyin.txt; isCantoneseName NLPUtil.pm:1712-1748)
-_C_INITIALS = (
-    "", "b", "p", "m", "f", "d", "t", "n", "l", "g", "k", "h", "gw", "kw",
-    "w", "y", "ch", "s", "sh", "ts", "j",
+# Cantonese (HK-conventional romanization) syllabary. HK-conventional
+# romanization is NOT a regular initial×final product — it is a set of
+# conventional spellings (lee/chow/woo/yee/yuen/young/...) shaped by a
+# century of HK government/Wade-Giles usage, so the inventory is embedded
+# explicitly (325 syllables, matching the reference's cantonpinyin.txt
+# loaded by loadPinyin, NLPUtil.pm:1339-1368; isCantoneseName
+# NLPUtil.pm:1712-1748).
+_CANTONESE_INVENTORY = (
+    "ah au bik bing bit bong bun chai chak cham chan chang chat chau chen "
+    "cheng cheong cheuk cheung chi chiang chick chign chik chin ching chit "
+    "chiu cho choi chok chong chor chow choy chu chuen chui chum chun chung "
+    "dik diu fa fai fan fang fat fei fo fog fok fong foo fook foon fork fu "
+    "fui fuk fung ha han hang hau hei heung him hin hing hip hiu ho hoi hok "
+    "hon hong hou hsu hsui huang huen hui hung hwang i ip jim ka kai kak kam "
+    "kan kang kar kau kei keung khoo kim kin king kit kiu ko kok kon kong koo "
+    "koon kot ku kua kuen kui kuk kun kung kuo kwai kwan kwing kwok kwong lai "
+    "lam lan lap larm lau law lee lei leong leung li liang liao liew lik lim "
+    "lin ling lip lit liu lo loi lok long loo look loong low luen luet lui "
+    "luk lum lun lung ma mak man mang mao mar mei min ming miu mo mok mook "
+    "moon mui muk mung nam nang nar nei neung ng nga ngai ngan ngau ngo ngon "
+    "nie nin ning nui o oi on or pak pang pat pau pei pik pin ping piu po pok "
+    "pong poo poon pui pun sai sam san sang sau se seck see sei sek shan she "
+    "shek sheung shi shih shing shiu shp shu shue shuen shuk shum shun si sik "
+    "sim sin sing sit siu so suen suet sui sum sun sung sze tai tak tam tan "
+    "tang tao tat tau tim tin ting tip tit to tong tsam tsang tse tsim tso "
+    "tsoi tsui tuen tung tye ung vong wah wai wan wang wat wing wo won wong "
+    "woo wood woon wu wui wun wut yam yan yang yao yat yau yee yei yen yeuk "
+    "yeung yi yick yik yim yin ying yip yiu young yu yue yuen yuet yui yuk "
+    "yung zhang"
 )
-_C_FINALS = (
-    "a aai aau aam aan aang ai au am an ang ap at ak e ei eng ek eung euk "
-    "i iu im in ing ip it ik o oi ou on ong ot ok oon u ui un ung ut uk "
-    "yu yun yut"
-).split()
 
 
 def cantonese_syllables() -> tuple[str, ...]:
-    out = {i + f for i in _C_INITIALS for f in _C_FINALS}
-    out.update(("ng", "m"))  # syllabic nasals (standalone surnames Ng, M)
-    return tuple(sorted(out))
+    return tuple(sorted(set(_CANTONESE_INVENTORY.split())))
 
 
 _C_SYLLABLES = frozenset(cantonese_syllables())

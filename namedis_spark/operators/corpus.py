@@ -167,7 +167,9 @@ def idf_ic_from_stats(term_rows: list, n_convs: int) -> tuple[dict, dict]:
         mc = max(mc, f)
         t = r["term"]
         # term_category analog: termXXXX → cat_{XXXX mod 40}
-        if t.startswith("term") and t[4:].isdigit():
+        # isdecimal() mirrors the DataFrame-side ASCII-\d+ regex exactly;
+        # isdigit() would accept superscript digits that int() rejects.
+        if t.startswith("term") and t[4:].isdecimal():
             c = f"cat_{int(t[4:]) % 40:02d}"
             cat_freq[c] = cat_freq.get(c, 0.0) + f
     cat_ic = {}

@@ -61,20 +61,42 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FEATURE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FEATURE_CACHE_MAX = 4  # LRU bound: long-lived sessions iterating many
+# sf_dirs must not accumulate persisted DataFrames
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(session, sf_dir) cached feature table — several queries fan out
-    multiple aggregations over it; persisting avoids re-running the feature
-    extraction scan per action."""
+    """Per-(session, sf_dir) LRU-cached feature table — several queries fan
+    out multiple aggregations over it; persisting avoids re-running the
+    feature extraction scan per action. Oldest entries are unpersisted once
+    the bound is hit; `clear_feature_cache` releases everything (call it on
+    session close)."""
     from namedis_spark.operators.features import conversation_features
 
     key = (id(spark), sf_dir)
-    if key not in _FEATURE_CACHE:
-        _FEATURE_CACHE[key] = conversation_features(
-            load_transcripts(spark, sf_dir)
-        ).persist()
+    if key in _FEATURE_CACHE:
+        _FEATURE_CACHE[key] = _FEATURE_CACHE.pop(key)  # move to MRU end
+        return _FEATURE_CACHE[key]
+    while len(_FEATURE_CACHE) >= _FEATURE_CACHE_MAX:
+        oldest = next(iter(_FEATURE_CACHE))
+        try:
+            _FEATURE_CACHE.pop(oldest).unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _FEATURE_CACHE[key] = conversation_features(
+        load_transcripts(spark, sf_dir)
+    ).persist()
     return _FEATURE_CACHE[key]
+
+
+def clear_feature_cache() -> None:
+    """Unpersist and drop every cached feature table (session-close hook)."""
+    while _FEATURE_CACHE:
+        _, df = _FEATURE_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 _DUCK_TRANSCRIPTS = f"WITH transcripts AS ({transcripts_sql('duckdb')})"

@@ -107,6 +107,15 @@ def get_spark(
     return spark
 
 
+def close_session(spark: SparkSession) -> None:
+    """Stop a session cleanly: release the query-registry feature cache
+    (persisted DataFrames) before stopping the JVM."""
+    from namedis_spark.queries import clear_feature_cache
+
+    clear_feature_cache()
+    spark.stop()
+
+
 def package_zip(out_path: str | None = None) -> str:
     """Zip the ``namedis_spark`` package for ``spark-submit --py-files`` /
     ``addPyFile`` distribution to executors. Idempotent per process."""

@@ -183,3 +183,42 @@ def test_cantonese_name_classifier():
     assert is_cantonese_name("wei wang") == 0     # valid pinyin → excluded
     assert is_cantonese_name("john smith") == 0
     assert is_cantonese_name("wong") == 0
+
+
+def test_syllabary_inventories_match_reference_counts():
+    # pinyin: canonical 407-entry Hanyu Pinyin inventory (pinyin.txt);
+    # cantonese: 325 HK-conventional romanizations (cantonpinyin.txt) —
+    # NOT an initial×final product, so it is embedded explicitly
+    from namedis_spark.functions.text import (
+        TWOCHAR_SURNAMES,
+        cantonese_syllables,
+        pinyin_syllables,
+    )
+
+    pin = set(pinyin_syllables())
+    assert len(pin) == 407
+    # the ü-romanizations appear in real surnames (Lü/Lv, Nü)
+    assert {"lv", "nv", "lue", "nue", "lo", "yo"} <= pin
+    assert not ({"cei", "chei", "den", "dia", "rua", "sei"} & pin)
+
+    can = set(cantonese_syllables())
+    assert len(can) == 325
+    # common HK romanizations that a product generator misses
+    assert {"lee", "chow", "woo", "yee", "yuen", "young", "sum", "law",
+            "suen"} <= can
+
+    # reference two-char surname list, NLPUtil.pm:289
+    assert TWOCHAR_SURNAMES == (
+        "ouyang", "shangguan", "duanmu", "sima", "situ", "zhuge", "huangpu",
+        "linghu", "murong",
+    )
+
+
+def test_twochar_surname_classifications():
+    # 'duanmu X' counts 2 chars (surname=1 + given=1); 'dongfang xiaoming'
+    # is NOT in the reference list → dongfang reads as dong+fang (2 syl)
+    # so 2+2=4 chars > 3 → 0
+    from namedis_spark.functions.text import chinese_name_chars
+
+    assert chinese_name_chars("duanmu hong") == 2
+    assert chinese_name_chars("dongfang xiaoming") == 0
