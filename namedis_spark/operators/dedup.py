@@ -30,8 +30,19 @@ from namedis_spark.functions.sqlexpr import fingerprint_expr, tokens_expr
 # the decomposed multiply. Simpler and portable: h_i = pmod(a_i * x + b_i, P)
 # with x < 2^31 (first 7 hex chars plus sign-safety) keeps a_i * x < 2^62.
 MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
-N_HASHES = 16
-N_BANDS = 4  # 4 rows per band
+# 32 hashes in 4 bands of 8 rows: the banding S-curve threshold is
+# s* = (1/b)^(1/r) = (1/4)^(1/8) ≈ 0.84 — candidates concentrate on truly
+# similar pairs instead of the 4-row/band round-1 tuning whose s* ≈ 0.5
+# admitted most of the corpus.
+N_HASHES = 32
+N_BANDS = 4  # 8 rows per band
+# Buckets larger than this are dropped from candidate generation (skew
+# guard): one degenerate bucket (e.g. many near-empty texts sharing a tiny
+# shingle set) makes Σ bucket² quadratic. Mirrors max_evidence_df in
+# operators/blocking.py. Pairs lost this way share a signature band with
+# >cap other docs — they re-enter via any *non*-degenerate band, and truly
+# degenerate content is better handled by exact dedup first.
+MAX_BUCKET_SIZE = 64
 # a_i < 2^31 and x < 2^28 keep a_i * x + b_i < 2^60 — no bigint overflow in
 # either engine (DuckDB raises on overflow; Spark would silently wrap).
 _A = [(i * 2654435761 + 1) % 2147483647 for i in range(1, N_HASHES + 1)]
@@ -108,24 +119,35 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, h0..h{N-1}) minhash signature via portable affine hashes
-    over md5 shingle keys. Explode + N min-aggregates: the shingle set is
-    computed once per document (projection collapse would otherwise
-    re-evaluate the md5 chain per hash function) and the mins are
-    map-side-combinable."""
-    ex = _shingles_df(docs, text_col).select(
-        "doc_id", F.explode("shingles").alias("x")
-    )
-    aggs = [
-        F.min(F.expr(f"pmod({_A[i]}L * x + {_B[i]}L, {MINHASH_PRIME}L)")).alias(f"h{i}")
+    over md5 shingle keys. The shingle array is materialized once per doc
+    behind `_shingles_df`'s aggregation barrier; each signature column is
+    then a pure per-row array_min projection — no explode, no second
+    shuffle (the round-1 explode+groupBy formulation shuffled Σ|shingles|
+    rows; this shuffles one short row per doc)."""
+    sets = _shingles_df(docs, text_col).where(F.expr("size(shingles) > 0"))
+    cols = [
+        F.expr(
+            f"array_min(transform(shingles,"
+            f" x -> pmod({_A[i]}L * x + {_B[i]}L, {MINHASH_PRIME}L)))"
+        ).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return sets.select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
     """LSH banding: signature split into bands; docs agreeing on a whole
     band hash into the same bucket; bucket equi-join yields candidates.
-    Scale path: pair generation is Σ bucket_size², never O(n²)."""
+
+    Scale path: pair generation is Σ bucket², and buckets are capped at
+    `max_bucket_size` docs (degenerate buckets are dropped entirely, never
+    joined — the cap is enforced BEFORE the self-join, so a hot bucket
+    costs one count row, not bucket² pairs). Single-doc buckets are also
+    dropped (they cannot pair)."""
     sig = minhash_signatures(docs, text_col)
     rows_per_band = N_HASHES // N_BANDS
     bands = []
@@ -141,8 +163,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exploded = bands[0]
     for bdf in bands[1:]:
         exploded = exploded.unionAll(bdf)
-    a = exploded.select("band", "bucket", F.col("doc_id").alias("doc_id1"))
-    b = exploded.select("band", "bucket", F.col("doc_id").alias("doc_id2"))
+    kept = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+        .select("band", "bucket")
+    )
+    pairable = exploded.join(kept, ["band", "bucket"])
+    a = pairable.select("band", "bucket", F.col("doc_id").alias("doc_id1"))
+    b = pairable.select("band", "bucket", F.col("doc_id").alias("doc_id2"))
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_id1") < F.col("doc_id2"))
@@ -156,28 +185,54 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard: |∩|/|∪| per pair, filtered at threshold.
-    With `candidates` (e.g. from LSH) verification joins only those pairs;
-    otherwise the shingle equi-join generates pairs sharing >= 1 shingle."""
+
+    Pair GENERATION and VERIFICATION are separate stages:
+    * with `candidates` (the production path — feed `lsh_candidate_pairs`
+      output), no shingle self-join happens at all;
+    * without, pairs sharing ≥1 shingle are generated by a shingle
+      equi-join with a document-frequency cap: shingles occurring in more
+      than `max_shingle_df` docs are excluded from *generation* (a common
+      3-gram is a hot key → O(n²) pairs). Pairs sharing ONLY ultra-common
+      shingles are missed by design — at threshold ≥ 0.5 such pairs are
+      overwhelmingly true negatives.
+    Verification is exact either way: the full (uncapped) shingle arrays
+    of both sides are joined per candidate pair and intersected —
+    per-pair work is O(|s1|+|s2|), linear in the candidate count."""
     sets = _shingles_df(docs, text_col).withColumn("sz", F.size("shingles"))
-    ex = sets.select("doc_id", "sz", F.explode("shingles").alias("k"))
-    a = ex.select(F.col("doc_id").alias("doc_id1"), F.col("sz").alias("sz1"), "k")
-    b = ex.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"), "k")
-    inter = (
-        a.join(b, "k")
-        .where(F.col("doc_id1") < F.col("doc_id2"))
-        .groupBy("doc_id1", "doc_id2")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("sz1").alias("sz1"),
-            F.first("sz2").alias("sz2"),
+    if candidates is None:
+        ex = sets.select("doc_id", F.explode("shingles").alias("k"))
+        rare = (
+            ex.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("k")
         )
+        gen = ex.join(rare, "k")
+        candidates = (
+            gen.select("k", F.col("doc_id").alias("doc_id1"))
+            .join(gen.select("k", F.col("doc_id").alias("doc_id2")), "k")
+            .where(F.col("doc_id1") < F.col("doc_id2"))
+            .select("doc_id1", "doc_id2")
+            .distinct()
+        )
+    s1 = sets.select(
+        F.col("doc_id").alias("doc_id1"),
+        F.col("shingles").alias("s1"),
+        F.col("sz").alias("sz1"),
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_id1", "doc_id2"])
+    s2 = sets.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("shingles").alias("s2"),
+        F.col("sz").alias("sz2"),
+    )
     return (
-        inter.withColumn(
+        candidates.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
+        .withColumn("inter", F.expr("size(array_intersect(s1, s2))"))
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
@@ -224,31 +279,28 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
 
 
 def embedding_cosine_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold. Brute-force formulated
-    as explode + equi-join on dimension index — at scale, replace the full
-    cross join with the LSH/IVF bucketing in operators.similarity."""
-    v = embeddings.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    ).withColumn(
-        "nrm", F.expr("sqrt(aggregate(e, 0d, (acc, x) -> acc + x * x))")
+    """Embedding near-dup pairs: cosine >= threshold.
+
+    Candidates come from multi-table hyperplane LSH (equi-join on
+    (table, bucket) — no cross join, no corpus broadcast); exact cosine is
+    verified only on candidates. With the default 6 planes × 12 tables the
+    per-pair miss probability at cosine = 0.95 is ≈ 1.3e-4 (and falls
+    rapidly above the threshold); see operators/similarity.py."""
+    from namedis_spark.operators.similarity import (
+        ANN_N_PLANES,
+        ANN_N_TABLES,
+        exact_cosine,
+        lsh_candidates,
     )
-    a = v.select(F.col("vec_id").alias("vec_id1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
-    b = v.select(F.col("vec_id").alias("vec_id2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
-    return (
-        a.join(b, F.col("vec_id1") < F.col("vec_id2"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(e1, e2, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-                )
-                / (F.col("n1") * F.col("n2")),
-                6,
-            ),
-        )
-        .where(F.col("cosine") >= threshold)
-        .select("vec_id1", "vec_id2", "cosine")
+
+    cand = lsh_candidates(
+        embeddings,
+        n_tables=n_tables or ANN_N_TABLES,
+        n_planes=n_planes or ANN_N_PLANES,
     )
+    return exact_cosine(cand, embeddings).where(F.col("cosine") >= threshold)

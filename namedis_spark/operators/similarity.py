@@ -1,11 +1,22 @@
 """Similarity search over embedding columns (training-data-pipeline op).
 
-* brute-force cosine top-k — correctness baseline; JVM-side zip_with dot
-  products, window top-k.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures bucket
-  vectors; only same-bucket pairs are scored. At 10^9 vectors the bucket
-  join replaces the O(n²) cross join; recall is tunable via n_planes /
-  n_tables.
+* brute-force cosine top-k — exactness baseline; JVM-side zip_with dot
+  products, window top-k. The SMALL side (the query set) is broadcast and
+  the corpus is streamed once — never the reverse.
+* multi-table hyperplane LSH — the scale path: T independent
+  random-hyperplane signatures bucket each vector; union of same-bucket
+  pairs across tables (OR-amplification) are the candidates; only those
+  are exactly scored. At 10^9 vectors the bucket join replaces the O(n²)
+  cross join; recall is tuned via n_planes (bucket granularity, AND) ×
+  n_tables (OR). For cosine ≥ 0.95 the default 6 planes × 12 tables gives
+  per-pair miss probability (1 - 0.899^6)^12 ≈ 1.3e-4.
+
+The plane components are derived from pure integer arithmetic —
+((t·7919 + j)·10007 + d·379 + seed) mod 2001, centered and scaled — so
+both engines (Spark SQL and the DuckDB oracle) regenerate identical
+planes with no broadcast and no stored state, and the signature folds are
+left-associative in both dialects, making bucket ids bit-identical
+(verified empirically across engines).
 """
 
 from __future__ import annotations
@@ -13,9 +24,114 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+HYPERPLANE_SEED = 7
+ANN_N_PLANES = 6
+ANN_N_TABLES = 12
+
 
 def _as_double(col: str = "embedding"):
     return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def plane_component(dialect: str, t: str, j: str, d: str, seed: int) -> str:
+    """One pseudo-random plane coefficient in [-1, 1) — identical integer
+    arithmetic in both dialects (all operands non-negative, so % == pmod)."""
+    return f"(((({t} * 7919 + {j}) * 10007 + {d} * 379 + {seed}) % 2001) - 1000) / 1000.0"
+
+
+def sig_expr_spark(t_var: str, n_planes: int, seed: int, emb: str = "embedding") -> str:
+    """Spark SQL: n_planes-bit hyperplane signature of `emb` for table
+    index `t_var` (a column or literal). Left-fold accumulation."""
+    comp = plane_component("spark", t_var, "j", "d", seed)
+    return f"""aggregate(
+        sequence(0, {n_planes - 1}),
+        cast(0 as bigint),
+        (acc, j) -> acc * 2 + if(
+            aggregate(
+                zip_with(transform({emb}, x -> cast(x as double)),
+                         sequence(0, size({emb}) - 1),
+                         (x, d) -> x * {comp}),
+                0d, (a, x) -> a + x) >= 0, 1, 0))"""
+
+
+def sig_expr_duckdb(t_var: str, n_planes: int, seed: int, emb: str = "embedding") -> str:
+    """DuckDB twin of `sig_expr_spark` — list_reduce is a left fold and
+    the first-element init equals Spark's 0d init exactly (0 + x0 == x0)."""
+    comp = plane_component("duckdb", t_var, "j", "d", seed)
+    return f"""list_reduce(list_transform(range(0, {n_planes}), j ->
+        CASE WHEN list_reduce(
+                 list_transform(range(0, len({emb})),
+                                d -> CAST({emb}[d + 1] AS double) * {comp}),
+                 (a, b) -> a + b) >= 0
+             THEN CAST(1 AS bigint) ELSE CAST(0 AS bigint) END),
+        (a, b) -> a * 2 + b)"""
+
+
+def table_buckets(
+    embeddings: DataFrame,
+    n_tables: int = ANN_N_TABLES,
+    n_planes: int = ANN_N_PLANES,
+    seed: int = HYPERPLANE_SEED,
+) -> DataFrame:
+    """(vec_id, tbl, bucket) for all T tables in ONE pass over the corpus:
+    the T signatures are computed in a single projection (an array built
+    by `transform` over the table index) and posexploded — one scan, no
+    per-table re-read, no broadcast."""
+    sigs = F.expr(
+        f"transform(sequence(0, {n_tables - 1}), t -> {sig_expr_spark('t', n_planes, seed)})"
+    )
+    return embeddings.select(
+        "vec_id", F.posexplode(sigs).alias("tbl", "bucket")
+    )
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    n_tables: int = ANN_N_TABLES,
+    n_planes: int = ANN_N_PLANES,
+    seed: int = HYPERPLANE_SEED,
+) -> DataFrame:
+    """Distinct (vec_id1 < vec_id2) pairs sharing a bucket in ≥1 table.
+    Pair volume is Σ_tables Σ_buckets bucket² — grows with collision
+    structure, not n²; n_planes scales bucket granularity with corpus
+    size (planes ∝ log n keeps expected bucket size flat)."""
+    b = table_buckets(embeddings, n_tables, n_planes, seed)
+    a = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id1"))
+    c = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id2"))
+    return (
+        a.join(c, ["tbl", "bucket"])
+        .where(F.col("vec_id1") < F.col("vec_id2"))
+        .select("vec_id1", "vec_id2")
+        .distinct()
+    )
+
+
+def _with_norm(df: DataFrame, id_alias: str, e_alias: str, n_alias: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_alias), _as_double().alias(e_alias)
+    ).withColumn(
+        n_alias, F.expr(f"sqrt(aggregate({e_alias}, 0d, (acc, x) -> acc + x * x))")
+    )
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+
+
+def exact_cosine(pairs: DataFrame, embeddings: DataFrame,
+                 id1: str = "vec_id1", id2: str = "vec_id2") -> DataFrame:
+    """Join the embedding arrays onto candidate pairs and compute the exact
+    round-6 cosine. Linear in the candidate count."""
+    a = _with_norm(embeddings, id1, "e1", "n1")
+    b = _with_norm(embeddings, id2, "e2", "n2")
+    return (
+        pairs.join(a, id1)
+        .join(b, id2)
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_DOT.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2")), 6),
+        )
+        .select(id1, id2, "cosine")
+    )
 
 
 def brute_force_topk(
@@ -24,28 +140,55 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k of `queries` (vec_id, embedding) against the
-    corpus. Ties broken by vec_id for determinism."""
-    corpus = embeddings.select(
-        F.col("vec_id").alias("cand_id"), _as_double().alias("e2")
-    ).withColumn("n2", F.expr("sqrt(aggregate(e2, 0d, (acc, x) -> acc + x * x))"))
-    qs = queries.select(
-        F.col("vec_id").alias("query_id"), _as_double().alias("e1")
-    ).withColumn("n1", F.expr("sqrt(aggregate(e1, 0d, (acc, x) -> acc + x * x))"))
-
+    corpus — the exactness baseline for ANN. The QUERY side is broadcast
+    (it is the small side by construction); the corpus streams through
+    executors once and is never collected or broadcast. Ties broken by
+    vec_id for determinism."""
+    corpus = _with_norm(embeddings, "cand_id", "e2", "n2")
+    qs = _with_norm(queries, "query_id", "e1", "n1")
     scored = (
-        qs.crossJoin(F.broadcast(corpus) if corpus is not qs else corpus)
+        corpus.crossJoin(F.broadcast(qs))
         .where(F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cosine",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(e1, e2, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-                )
-                / (F.col("n1") * F.col("n2")),
-                6,
-            ),
+            F.round(F.expr(_DOT.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2")), 6),
         )
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = HYPERPLANE_SEED,
+) -> DataFrame:
+    """Bucketed ANN top-k — the registered scale path. Corpus and query
+    signatures are bucket-joined per table (equi-join on (tbl, bucket), no
+    corpus broadcast, no cross join); the unioned candidates are exactly
+    scored and window-ranked. Fewer planes than the near-dup detector
+    (coarser buckets) so each query sees enough candidates for top-k;
+    recall vs `brute_force_topk` is measured in tests."""
+    cb = table_buckets(embeddings, n_tables, n_planes, seed).select(
+        "tbl", "bucket", F.col("vec_id").alias("cand_id")
+    )
+    qb = table_buckets(queries, n_tables, n_planes, seed).select(
+        "tbl", "bucket", F.col("vec_id").alias("query_id")
+    )
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = exact_cosine(cand, embeddings, "query_id", "cand_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -57,47 +200,29 @@ def brute_force_topk(
 def hyperplane_buckets(
     embeddings: DataFrame, n_planes: int = 8, seed: int = 7, dim: int | None = None
 ) -> DataFrame:
-    """Random-hyperplane LSH: sign pattern of <v, r_j> over n_planes
-    deterministic pseudo-random planes → bucket id. Planes are generated
-    from a hash of (plane, dim index) so executors need no broadcast."""
-    # plane component r[j][d] = ((j * 10007 + d * 379 + seed) % 2001 - 1000) / 1000
-    sig = F.expr(
-        f"""aggregate(
-                sequence(0, {n_planes - 1}),
-                cast(0 as bigint),
-                (acc, j) -> acc * 2 + if(
-                    aggregate(
-                        zip_with(transform(embedding, x -> cast(x as double)),
-                                 sequence(0, size(embedding) - 1),
-                                 (x, d) -> x * (((j * 10007 + d * 379 + {seed}) % 2001) - 1000) / 1000.0),
-                        0d, (a, x) -> a + x) >= 0, 1, 0))"""
+    """Single-table hyperplane signature (tbl = 0 of the multi-table
+    scheme) — kept for callers that bucket without OR-amplification."""
+    return embeddings.select(
+        "vec_id",
+        "embedding",
+        F.expr(sig_expr_spark("0", n_planes, seed)).alias("bucket"),
     )
-    return embeddings.select("vec_id", "embedding", sig.alias("bucket"))
 
 
-def lsh_ann_pairs(embeddings: DataFrame, n_planes: int = 8, min_cosine: float = 0.8) -> DataFrame:
-    """ANN near-neighbor pairs: bucket join + exact cosine verification of
-    same-bucket pairs only."""
+def lsh_ann_pairs(
+    embeddings: DataFrame, n_planes: int = 8, min_cosine: float = 0.8
+) -> DataFrame:
+    """Single-table ANN near-neighbor pairs: bucket join + exact cosine
+    verification of same-bucket pairs only. Prefer `lsh_candidates` +
+    `exact_cosine` (multi-table OR-amplification) for recall-sensitive
+    near-dup detection."""
     b = hyperplane_buckets(embeddings, n_planes)
-    withd = b.withColumn("e", _as_double()).withColumn(
-        "nrm", F.expr("sqrt(aggregate(e, 0d, (acc, x) -> acc + x * x))")
-    )
-    a = withd.select("bucket", F.col("vec_id").alias("vec_id1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
-    c = withd.select("bucket", F.col("vec_id").alias("vec_id2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
-    return (
+    a = b.select("bucket", F.col("vec_id").alias("vec_id1"))
+    c = b.select("bucket", F.col("vec_id").alias("vec_id2"))
+    pairs = (
         a.join(c, "bucket")
         .where(F.col("vec_id1") < F.col("vec_id2"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(e1, e2, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-                )
-                / (F.col("n1") * F.col("n2")),
-                6,
-            ),
-        )
-        .where(F.col("cosine") >= min_cosine)
-        .select("vec_id1", "vec_id2", "cosine")
+        .select("vec_id1", "vec_id2")
         .distinct()
     )
+    return exact_cosine(pairs, embeddings).where(F.col("cosine") >= min_cosine)

@@ -52,6 +52,16 @@ def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
 
 
+def quadratic_join_nodes(df: DataFrame) -> list[str]:
+    """Physical join nodes that enumerate all row pairs — the nodes the
+    scale discipline bans from registered dedup/ANN paths (a broadcast of
+    a deliberately-small side, e.g. an ANN query set, is a different node:
+    BroadcastHashJoin / BroadcastNestedLoopJoin over a small side is fine
+    where documented, CartesianProduct never is)."""
+    plan = formatted_plan(df)
+    return [n for n in ("CartesianProduct", "BroadcastNestedLoopJoin") if n in plan]
+
+
 def python_eval_count(df: DataFrame) -> int:
     """Number of Python evaluation nodes (ArrowEvalPython / BatchEvalPython /
     MapInPandas...) — the audit for 'no per-row Python' (BatchEvalPython is

@@ -1245,31 +1245,60 @@ def cslr_role_pairs(spark, sf_dir):
 @q(
     "jaro_winkler_names",
     _DUCK_TRANSCRIPTS
-    + """
-    , names AS (SELECT DISTINCT role FROM transcripts)
-    SELECT a.role AS name1, b.role AS name2,
-           round(jaro_winkler_similarity(a.role, b.role), 6) AS jw
-    FROM names a JOIN names b ON a.role < b.role
+    + f"""
+    , surfaces AS (
+        SELECT DISTINCT surface, {norm_name_expr('surface', 'duckdb')} AS block_key
+        FROM (
+            SELECT role AS surface FROM transcripts
+            UNION SELECT replace(role, '_', '-') FROM transcripts
+            UNION SELECT upper(role) FROM transcripts
+        )
+    )
+    SELECT a.block_key, a.surface AS name1, b.surface AS name2,
+           round(jaro_winkler_similarity(a.surface, b.surface), 6) AS jw
+    FROM surfaces a JOIN surfaces b
+      ON a.block_key = b.block_key AND a.surface < b.surface
     """,
 )
 def jaro_winkler_names(spark, sf_dir):
     """Jaro-Winkler similarity between distinct speaker-name surfaces
-    (north-star string channel) — pandas UDF vs DuckDB's builtin."""
+    WITHIN a blocking key (north-star string channel) — the pair join is
+    an equi-join on the normalized-name block, as the pipeline scorer
+    does, never an O(V²) theta join over the whole name vocabulary.
+    Deterministic case/hyphen variants of each role stand in for the
+    surface diversity real names have (same derivation in the oracle)."""
     import pandas as pd
     import pyspark.sql.types as T
 
     from namedis_spark.functions.core import jaro_winkler
 
     t = load_transcripts(spark, sf_dir)
-    names = t.select("role").distinct()
+    surfaces = (
+        t.select(F.col("role").alias("surface"))
+        .union(t.select(F.expr("replace(role, '_', '-')")))
+        .union(t.select(F.upper("role")))
+        .select(
+            "surface", F.expr(norm_name_expr("surface", "spark")).alias("block_key")
+        )
+        .distinct()
+    )
     pairs = (
-        names.alias("a")
-        .join(names.alias("b"), F.col("a.role") < F.col("b.role"))
-        .select(F.col("a.role").alias("name1"), F.col("b.role").alias("name2"))
+        surfaces.alias("a")
+        .join(
+            surfaces.alias("b"),
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.surface").alias("name1"),
+            F.col("b.surface").alias("name2"),
+        )
     )
 
     schema = T.StructType(
         [
+            T.StructField("block_key", T.StringType()),
             T.StructField("name1", T.StringType()),
             T.StructField("name2", T.StringType()),
             T.StructField("jw", T.DoubleType()),
@@ -1285,7 +1314,7 @@ def jaro_winkler_names(spark, sf_dir):
                 round(jaro_winkler(x, y), 6)
                 for x, y in zip(pdf["name1"], pdf["name2"])
             ]
-            yield pdf[["name1", "name2", "jw"]]
+            yield pdf[["block_key", "name1", "name2", "jw"]]
 
     return pairs.mapInPandas(udf, schema=schema)
 
@@ -1790,8 +1819,11 @@ def minhash_signatures_q(spark, sf_dir):
     return minhash_signatures(spark.table("documents"))
 
 
-def _lsh_oracle() -> str:
-    from namedis_spark.operators.dedup import N_BANDS, N_HASHES
+def _lsh_cand_ctes() -> str:
+    """Shared CTE chain sig → exploded → kept (bucket-size cap) → e2 —
+    mirrors operators.dedup.lsh_candidate_pairs including the
+    MAX_BUCKET_SIZE skew guard."""
+    from namedis_spark.operators.dedup import MAX_BUCKET_SIZE, N_BANDS, N_HASHES
 
     rows = N_HASHES // N_BANDS
     bands = " UNION ALL ".join(
@@ -1802,12 +1834,26 @@ def _lsh_oracle() -> str:
         for bnd in range(N_BANDS)
     )
     return f"""
-        WITH sig AS ({_minhash_oracle()}),
-        exploded AS ({bands})
-        SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-        FROM exploded a JOIN exploded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        sig AS ({_minhash_oracle()}),
+        exploded AS ({bands}),
+        kept AS (
+            SELECT band, bucket FROM exploded
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_SIZE}
+        ),
+        e2 AS (
+            SELECT ex.doc_id, ex.band, ex.bucket
+            FROM exploded ex JOIN kept USING (band, bucket)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+            FROM e2 a JOIN e2 b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
     """
+
+
+def _lsh_oracle() -> str:
+    return f"WITH {_lsh_cand_ctes()} SELECT doc_id1, doc_id2 FROM cand"
 
 
 @q("minhash_lsh_candidates", _lsh_oracle())
@@ -1820,33 +1866,42 @@ def minhash_lsh_candidates(spark, sf_dir):
 
 
 def _ngram_jaccard_oracle(threshold: float = 0.5) -> str:
+    """LSH-candidate generation (same portable minhash banding + bucket
+    cap as the Spark path) followed by exact shingle-set Jaccard on the
+    candidates only — the oracle replays the full two-stage pipeline."""
     from namedis_spark.operators.dedup import shingle_keys
 
     sh = shingle_keys("text", dialect="duckdb")
     return f"""
-        WITH sets AS (SELECT doc_id, {sh} AS shingles FROM documents),
-        ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS k FROM sets),
-        inter AS (
-            SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-                   CAST(count(*) AS bigint) AS i,
-                   any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
-            FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        WITH {_lsh_cand_ctes()},
+        sets AS (SELECT doc_id, {sh} AS shingles FROM documents),
+        j AS (
+            SELECT c.doc_id1, c.doc_id2,
+                   CAST(len(list_intersect(a.shingles, b.shingles)) AS bigint) AS i,
+                   len(a.shingles) AS sz1, len(b.shingles) AS sz2
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.doc_id1
+            JOIN sets b ON b.doc_id = c.doc_id2
         )
         SELECT doc_id1, doc_id2,
                round(CAST(i AS double) / (sz1 + sz2 - i), 6) AS jaccard
-        FROM inter
+        FROM j
         WHERE round(CAST(i AS double) / (sz1 + sz2 - i), 6) >= {threshold}
     """
 
 
 @q("ngram_jaccard_dups", _ngram_jaccard_oracle())
 def ngram_jaccard_dups(spark, sf_dir):
-    """near-dup pairs by exact character-3-gram Jaccard >= 0.5."""
-    from namedis_spark.operators.dedup import ngram_jaccard_pairs
+    """near-dup pairs by exact character-3-gram Jaccard >= 0.5, generated
+    from LSH banding candidates (bucket-capped) and verified exactly —
+    the production two-stage path; no raw shingle self-join."""
+    from namedis_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
 
     register_views(spark, sf_dir)
-    return ngram_jaccard_pairs(spark.table("documents"), threshold=0.5)
+    docs = spark.table("documents")
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, candidates=lsh_candidate_pairs(docs)
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -1930,33 +1985,114 @@ def ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=_ANN_K)
 
 
-@q(
-    "embedding_cosine_dups",
+def _hyperplane_sigs_cte(n_tables: int, n_planes: int) -> str:
+    """DuckDB CTE: (vec_id, tbl, bucket) for all T hyperplane tables —
+    bit-identical to operators.similarity.table_buckets (same integer
+    plane arithmetic, same left-fold accumulation; parity verified)."""
+    from namedis_spark.operators.similarity import HYPERPLANE_SEED, sig_expr_duckdb
+
+    sig = sig_expr_duckdb("ts.t", n_planes, HYPERPLANE_SEED)
+    return f"""
+        sigs AS (
+            SELECT vec_id, ts.t AS tbl, {sig} AS bucket
+            FROM embeddings, (SELECT unnest(range(0, {n_tables})) AS t) ts
+        )
     """
-    WITH v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e
+
+
+_DUCK_EMB_NORMS = """
+    wn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS double)) AS e,
+               sqrt(list_reduce(
+                   list_transform(embedding, x -> CAST(x AS double) * CAST(x AS double)),
+                   (a, b) -> a + b)) AS nrm
         FROM embeddings
-    ),
-    dims AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS d FROM v),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY 1),
-    dots AS (
-        SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2, sum(a.x * b.x) AS dot
-        FROM dims a JOIN dims b ON a.d = b.d AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
     )
-    SELECT d.vec_id1, d.vec_id2, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM dots d
-    JOIN norms na ON na.vec_id = d.vec_id1
-    JOIN norms nb ON nb.vec_id = d.vec_id2
-    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.95
-    """,
-)
+"""
+
+_DUCK_PAIR_COSINE = """
+    round(list_reduce(list_transform(range(0, len(a.e)),
+                                     i -> a.e[i + 1] * b.e[i + 1]),
+                      (x, y) -> x + y) / (a.nrm * b.nrm), 6)
+"""
+
+
+def _embedding_dups_oracle(threshold: float = 0.95) -> str:
+    from namedis_spark.operators.similarity import ANN_N_PLANES, ANN_N_TABLES
+
+    return f"""
+    WITH {_hyperplane_sigs_cte(ANN_N_TABLES, ANN_N_PLANES)},
+    cand AS (
+        SELECT DISTINCT s1.vec_id AS vec_id1, s2.vec_id AS vec_id2
+        FROM sigs s1 JOIN sigs s2
+          ON s1.tbl = s2.tbl AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
+    ),
+    {_DUCK_EMB_NORMS}
+    SELECT c.vec_id1, c.vec_id2, {_DUCK_PAIR_COSINE} AS cosine
+    FROM cand c
+    JOIN wn a ON a.vec_id = c.vec_id1
+    JOIN wn b ON b.vec_id = c.vec_id2
+    WHERE {_DUCK_PAIR_COSINE} >= {threshold}
+    """
+
+
+@q("embedding_cosine_dups", _embedding_dups_oracle())
 def embedding_cosine_dups(spark, sf_dir):
-    """embedding near-dup pairs (cosine >= 0.95)."""
+    """embedding near-dup pairs (cosine >= 0.95): multi-table hyperplane
+    LSH candidates (equi-join on (table, bucket)) + exact verification —
+    no cross join, no corpus broadcast; the oracle replays the identical
+    two-stage pipeline with bit-identical bucket ids."""
     from namedis_spark.operators.dedup import embedding_cosine_pairs
 
     register_views(spark, sf_dir)
     return embedding_cosine_pairs(spark.table("embeddings"), threshold=0.95)
+
+
+_ANN_LSH_TABLES = 8
+_ANN_LSH_PLANES = 4
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+    WITH {_hyperplane_sigs_cte(_ANN_LSH_TABLES, _ANN_LSH_PLANES)},
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM sigs q JOIN sigs c
+          ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    {_DUCK_EMB_NORMS},
+    scored AS (
+        SELECT cd.query_id, cd.cand_id, {_DUCK_PAIR_COSINE} AS cosine
+        FROM cand cd
+        JOIN wn a ON a.vec_id = cd.query_id
+        JOIN wn b ON b.vec_id = cd.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rk AS int) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {_ANN_K}
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_oracle())
+def ann_lsh_topk(spark, sf_dir):
+    """bucketed ANN top-k (queries = vec_id < 10) — the registered scale
+    path: multi-table hyperplane LSH candidates + exact cosine + window
+    rank. Recall vs the brute-force baseline is asserted in tests."""
+    from namedis_spark.operators.similarity import lsh_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=_ANN_K,
+        n_tables=_ANN_LSH_TABLES,
+        n_planes=_ANN_LSH_PLANES,
+    )
 
 
 @q("multimodal_features", None)  # binary plumbing — no SQL oracle (rows-only)

@@ -41,13 +41,87 @@ def test_ngram_jaccard_near_dup(spark, docs):
 
 
 def test_minhash_lsh_catches_near_dups(spark, docs):
-    from namedis_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from namedis_spark.operators.dedup import (
+        N_HASHES,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
-    sig = {r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in minhash_signatures(docs).collect()}
+    sig = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(N_HASHES)]
+        for r in minhash_signatures(docs).collect()
+    }
     assert sig[1] == sig[2]  # identical shingle sets → identical signatures
     cands = {(r["doc_id1"], r["doc_id2"]) for r in lsh_candidate_pairs(docs).collect()}
-    assert (1, 2) in cands
-    assert (1, 3) in cands  # high-jaccard pair must band-collide
+    assert (1, 2) in cands  # identical sigs always band-collide
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """The skew guard: >max_bucket_size docs with identical signatures
+    form a degenerate bucket that must contribute NO pairs (at scale one
+    such bucket makes pair generation quadratic)."""
+    from namedis_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(i, "identical degenerate content repeated everywhere") for i in range(10)]
+    rows += [(100, "one unrelated document about distributed query engines"),
+             (101, "one unrelated document about distributed query engine!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["doc_id1"], r["doc_id2"])
+        for r in lsh_candidate_pairs(docs, max_bucket_size=4).collect()
+    }
+    assert not any(a < 10 and b < 10 for a, b in cands)  # degenerate pairs gone
+    assert (100, 101) in cands  # small buckets unaffected
+
+
+def test_lsh_recall_on_planted_near_dups(spark):
+    """Banding tuned at s* = (1/4)^(1/8) ≈ 0.84 must recover planted
+    high-jaccard pairs: 40 base docs, each with a copy perturbed by one
+    word — deterministic corpus, recall measured against exact jaccard."""
+    import random
+
+    from namedis_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(words) for _ in range(30)]
+        rows.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        mutated[rng.randrange(30)] = rng.choice(words)
+        rows.append((2 * i + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    truth = {
+        (r["doc_id1"], r["doc_id2"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert len(truth) >= 20  # the planted pairs really are high-jaccard
+    cands = {(r["doc_id1"], r["doc_id2"]) for r in lsh_candidate_pairs(docs).collect()}
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} truth pairs"
+
+
+def test_ngram_jaccard_candidates_path_matches_exact(spark, docs):
+    """The production path (LSH candidates → exact verify) must agree with
+    the exhaustive path on every pair the candidates cover."""
+    from namedis_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_id1"], r["doc_id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    via_cands = {
+        (r["doc_id1"], r["doc_id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, candidates=lsh_candidate_pairs(docs)
+        ).collect()
+    }
+    for pair, j in via_cands.items():
+        assert exact[pair] == j
+    assert (1, 2) in via_cands
 
 
 def test_simhash_identical_for_same_bag(spark, docs):
@@ -78,6 +152,74 @@ def test_brute_force_topk_and_lsh_ann(spark):
         for r in lsh_ann_pairs(emb, n_planes=4, min_cosine=0.99).collect()
     }
     assert (0, 1) in ann  # near-identical vectors share all hyperplane signs
+
+
+@pytest.fixture(scope="module")
+def emb100(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(100, 16).astype("float64")
+    # plant 10 near-dup pairs: vec 2k+1 ≈ vec 2k for k < 10
+    for k in range(10):
+        base[2 * k + 1] = base[2 * k] + rng.randn(16) * 0.02
+    rows = [(i, [float(x) for x in base[i]]) for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_cosine_dups_lsh_finds_planted_pairs(spark, emb100):
+    """LSH-candidates → exact-verify must recover every planted near-dup
+    (deterministic planes + fixed data ⇒ the test is not flaky)."""
+    from namedis_spark.operators.dedup import embedding_cosine_pairs
+
+    got = {
+        (r["vec_id1"], r["vec_id2"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb100, threshold=0.95).collect()
+    }
+    for k in range(10):
+        assert (2 * k, 2 * k + 1) in got, f"planted pair {k} missed"
+        assert got[(2 * k, 2 * k + 1)] >= 0.99
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb100):
+    """Bucketed top-k (registered scale path) must hit ≥0.8 recall@5
+    against the exact baseline on this corpus, and always contain the
+    planted nearest neighbor at rank 1."""
+    from namedis_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    qs = emb100.where("vec_id < 20")
+    exact = brute_force_topk(emb100, qs, k=5).collect()
+    approx = lsh_topk(emb100, qs, k=5, n_tables=8, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall@5 = {recall:.2f}"
+    rank1 = {r["query_id"]: r["cand_id"] for r in approx if r["rk"] == 1}
+    for k in range(10):
+        assert rank1[2 * k] == 2 * k + 1  # planted neighbor leads
+
+
+def test_dedup_ann_plans_have_no_quadratic_joins(spark, emb100, docs):
+    """Scale discipline: the registered dedup/ANN paths must contain no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in their plans."""
+    from namedis_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from namedis_spark.operators.similarity import lsh_topk
+    from namedis_spark.plans.explain import quadratic_join_nodes
+
+    plans = {
+        "lsh_candidates": lsh_candidate_pairs(docs),
+        "ngram_jaccard": ngram_jaccard_pairs(
+            docs, candidates=lsh_candidate_pairs(docs)
+        ),
+        "embedding_dups": embedding_cosine_pairs(emb100),
+        "lsh_topk": lsh_topk(emb100, emb100.where("vec_id < 10")),
+    }
+    for name, df in plans.items():
+        assert quadratic_join_nodes(df) == [], name
 
 
 def test_multimodal_plumbing(spark, docs):
