@@ -1547,103 +1547,127 @@ def block_thresholds(spark, sf_dir):
 
 
 
-_DUCK_TERM_IC = (
-    _DUCK_TRANSCRIPTS
-    + f""",
+def _duck_term_occ() -> str:
+    return (
+        "WITH RECURSIVE transcripts AS ("
+        + transcripts_sql("duckdb")
+        + f"""),
     term_occ AS (
         SELECT term, CAST(count(*) AS bigint) AS freq FROM (
             SELECT unnest({content_terms_expr('text', 'duckdb')}) AS term FROM transcripts
         ) GROUP BY 1
     ),
-    catted AS (
-        SELECT term, freq,
-               CASE WHEN regexp_matches(term, '^term[0-9]+$')
-                    THEN 'cat_' || lpad(CAST(CAST(term[5:] AS int) % 40 AS varchar), 2, '0')
-               END AS cat
-        FROM term_occ
-    ),
-    cat_freq AS (
-        SELECT cat AS term, sum(freq) * 0.8 AS freq FROM catted
-        WHERE cat IS NOT NULL GROUP BY 1
-    ),
-    all_freq AS (
-        SELECT term, CAST(freq AS double) AS freq FROM term_occ
-        UNION ALL SELECT term, freq FROM cat_freq
-    ),
-    mc AS (SELECT max(freq) AS m FROM all_freq)
-"""
-)
+    """
+    )
 
 
-@q(
-    "term_ic",
-    _DUCK_TERM_IC
-    + """
-    SELECT term, freq, round(ln((SELECT m FROM mc)) - ln(freq), 6) AS ic
-    FROM all_freq
-    """,
-)
+def _term_freqs_df(spark, sf_dir):
+    return (
+        _features(spark, sf_dir)
+        .select(F.explode("term_freq").alias("term", "f"))
+        .groupBy("term")
+        .agg(F.sum("f").cast("bigint").alias("freq"))
+    )
+
+
+def _dag_ic_oracle() -> str:
+    from namedis_spark.operators.taxonomy import closure_oracle_ctes
+
+    return (
+        _duck_term_occ()
+        + closure_oracle_ctes()
+        + """
+    SELECT node AS term, round(freq, 6) AS freq,
+           round(ln((SELECT m FROM mc)) - ln(freq), 6) AS ic
+    FROM pf
+    """
+    )
+
+
+@q("term_ic", _dag_ic_oracle())
 def term_ic_q(spark, sf_dir):
-    """taxonomy term information content (trainDBLPFile + calcNetIC,
-    ConceptNet.pm:5315-5411, 4931-4970): distributed term-freq aggregation
-    with attenuated pass-up to categories, IC = log(MC) − log(freq); see
-    operators.corpus.term_ic."""
-    from namedis_spark.operators.corpus import term_ic
+    """taxonomy term information content over the multi-level DAG
+    (trainDBLPFile + calcNetIC, ConceptNet.pm:5315-5411, 4931-4970):
+    iterative-join ancestor closure (enumAncestors:2852), batch-
+    attenuated full-depth frequency pass-up (addFreqAndAuthors:3483-3520),
+    IC = log(MC) − log(freq). Oracle = recursive-CTE closure over the
+    identical edge list; see operators.taxonomy."""
+    from namedis_spark.operators.taxonomy import (
+        ancestor_closure,
+        synthetic_dag,
+        term_ic_dag,
+        with_attenuation,
+    )
 
-    return term_ic(_features(spark, sf_dir)).select(
-        "term", F.col("freq").cast("double").alias("freq"), "ic"
+    tf = _term_freqs_df(spark, sf_dir)
+    closure = with_attenuation(
+        ancestor_closure(synthetic_dag(tf), extra_nodes=tf.select("term"))
+    )
+    return term_ic_dag(tf, closure)
+
+
+def _dag_closeness_oracle() -> str:
+    from namedis_spark.operators.taxonomy import (
+        IC_OFFSET,
+        LCS_MAX_DEPTH_SUM,
+        closure_oracle_ctes,
+    )
+
+    return (
+        _duck_term_occ()
+        + closure_oracle_ctes()
+        + f""",
+    ics AS (
+        SELECT node, round(ln((SELECT m FROM mc)) - ln(freq), 6) AS ic FROM pf
+    ),
+    corpus_closure AS (
+        SELECT ca.* FROM catt ca JOIN term_occ t ON t.term = ca.term
+    ),
+    cand AS (
+        SELECT a.term AS term1, b.term AS term2, a.ancestor,
+               a.depth + b.depth AS depth_sum,
+               a.depth / a.atten + b.depth / b.atten AS atten_depth_sum,
+               a.atten * b.atten AS att
+        FROM corpus_closure a JOIN corpus_closure b
+          ON a.ancestor = b.ancestor AND a.term < b.term
+        WHERE a.depth + b.depth <= {LCS_MAX_DEPTH_SUM}
+    ),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY term1, term2
+            ORDER BY depth_sum, atten_depth_sum, ancestor) AS rk
+        FROM cand
+    )
+    SELECT b.term1, b.term2, b.ancestor AS lcs, b.depth_sum,
+           round(b.att, 6) AS attenuation,
+           round(greatest(i.ic - {IC_OFFSET}, 0), 6) AS closeness
+    FROM best b JOIN ics i ON i.node = b.ancestor
+    WHERE b.rk = 1
+    """
     )
 
 
-_DUCK_TERM_IC_LETTER = (
-    _DUCK_TRANSCRIPTS
-    + f""",
-    term_occ AS (
-        SELECT term, CAST(count(*) AS bigint) AS freq FROM (
-            SELECT unnest({content_terms_expr('text', 'duckdb')}) AS term FROM transcripts
-        ) GROUP BY 1
-    ),
-    catted AS (
-        SELECT term, freq, 'cat_' || term[1:1] AS cat FROM term_occ
-    ),
-    cat_freq AS (
-        SELECT cat AS term, sum(freq) * 0.8 AS freq FROM catted
-        WHERE cat IS NOT NULL GROUP BY 1
-    ),
-    all_freq AS (
-        SELECT term, CAST(freq AS double) AS freq FROM term_occ
-        UNION ALL SELECT term, freq FROM cat_freq
-    ),
-    mc AS (SELECT max(freq) AS m FROM all_freq)
-"""
-)
-
-
-@q(
-    "term_closeness_pairs",
-    _DUCK_TERM_IC_LETTER
-    + """,
-    cat_ic AS (
-        SELECT term AS lcs, round(ln((SELECT m FROM mc)) - ln(freq), 6) AS ic
-        FROM cat_freq
-    )
-    SELECT a.term AS term1, b.term AS term2, a.cat AS lcs,
-           round(ci.ic - 3.5, 6) AS closeness
-    FROM catted a JOIN catted b ON a.cat = b.cat AND a.term < b.term
-    JOIN cat_ic ci ON ci.lcs = a.cat
-    WHERE a.cat IS NOT NULL
-    """,
-)
+@q("term_closeness_pairs", _dag_closeness_oracle())
 def term_closeness_q(spark, sf_dir):
-    """concept/LCS closeness (calcTermCloseness, ConceptNet.pm:5630-5655):
-    IC(lcs) − ICOffset for term pairs whose least common subsumer is within
-    combined depth ≤ 3; see operators.corpus.term_closeness. The events
-    vocabulary carries a first-letter category layer (the pipeline's own
-    datagen vocabulary uses the termNNNN→cat taxonomy instead)."""
-    from namedis_spark.operators.corpus import term_closeness
+    """concept/LCS closeness over the multi-level DAG (calcTermCloseness
+    ConceptNet.pm:5630-5655, leastCommonSubsumer:3283-3361): for corpus
+    term pairs whose least common subsumer lies within combined depth ≤ 3,
+    closeness = max(IC(lcs) − ICOffset, 0); LCS selection = min depth-sum,
+    attenuated-depth-sum tie-break (recAttenuateByBatch), lexical final
+    tie-break. Mixed leaf depths make true multi-level subsumers occur
+    (depth-sum-3 pairs through mid-level nodes)."""
+    from namedis_spark.operators.taxonomy import (
+        ancestor_closure,
+        lcs_closeness,
+        synthetic_dag,
+        with_attenuation,
+    )
 
-    first_letter = lambda c: F.concat(F.lit("cat_"), F.substring(c, 1, 1))  # noqa: E731
-    return term_closeness(_features(spark, sf_dir), category_expr=first_letter)
+    tf = _term_freqs_df(spark, sf_dir)
+    closure = with_attenuation(
+        ancestor_closure(synthetic_dag(tf), extra_nodes=tf.select("term"))
+    )
+    return lcs_closeness(tf, closure)
 
 
 # ---------------------------------------------------------------------------
