@@ -577,3 +577,20 @@ def shared_coauthor_boost(
             b1 = min(b1, b2)
         best = max(best, b1)
     return best
+
+
+def term_freq_thres_by_ambig(freqs: list[float], freq_sum_thres: float) -> float:
+    """Per-vector single-shared-term frequency threshold
+    (getTermFreqThresByAmbig, ConceptNet.pm:5475-5497): walk the vector's
+    term corpus-frequencies ascending, accumulating; the threshold is the
+    last frequency whose running sum stays <= freq_sum_thres (when the sum
+    first exceeds it, the threshold backs off to that frequency - 1)."""
+    thres = 0.0
+    running = 0.0
+    for f in sorted(freqs):
+        running += f
+        if running > freq_sum_thres:
+            thres = f - 1
+            break
+        thres = f
+    return thres

@@ -40,6 +40,7 @@ from namedis_spark.functions.core import (
     make_tool_expander,
     overestimate_ambig,
     shared_coauthor_boost,
+    term_freq_thres_by_ambig,
     tfidf_cosine,
     weighted_jaccard,
     year_diff_discount,
@@ -83,6 +84,28 @@ class ScoringParams:
     # with the per-key document-frequency cap (the skew guard).
     small_block_size: int = 256
     max_evidence_df: int = 50
+    # --- precision guards (calcConceptVectorSimi, ConceptNet.pm) ---------
+    # empty-vector prior: a pair where either side has NO content terms
+    # scores min(threshold, cap) with the gate auto-passed — empty titles
+    # get a chance to merge on venue/coauthor evidence alone
+    # (:6038-6053; MAX_EMPTY_CONCEPT_VEC_SIMI_PRIOR :5804)
+    empty_vec_prior_cap: float = 0.5
+    # similarity floor (USE_VEC_SIMI_LOWER_BOUND, :6084-6089): raise a
+    # positive-but-below-prior base to the prior for non-empty vectors.
+    # DEFAULT OFF — documented deviation: in the reference's IC-sum score
+    # space the prior sits at/below the merge threshold, so the floor
+    # barely promotes pairs; in this scorer's normalized [0,1] channel mix
+    # (threshold 0.65, multiplicative venue x coauthor boosts up to 3x) a
+    # 0.5 floor promotes coincidence pairs wholesale — measured on the
+    # labeled fixture it costs 14 points of precision (P 1.00 -> 0.86).
+    # The mechanism is kept for parity experiments.
+    use_simi_lower_bound: bool = False
+    # single-shared-term frequency veto (:6059-6066): a pair whose ONLY
+    # shared content term is corpus-frequent (df above the ambiguity-scaled
+    # getTermFreqThresByAmbig threshold) carries no term evidence
+    single_term_veto: bool = True
+    max_single_shared_ambig: float = 0.5  # MAX_AMBIGUITY_OF_SHARED_SINGLE_CONCEPT
+    share_randomness_boost: float = 3.0  # BOOST_SHARE_TERM_CHANCE_FROM_RANDOMNESS
 
 
 SCORE_SCHEMA = T.StructType(
@@ -131,6 +154,8 @@ def score_one_pair(
     tool_simi_map: dict[str, list[tuple[str, float]]],
     cat_ic: dict[str, float],
     params: ScoringParams,
+    n_docs: float = 0.0,
+    max_df: float = 0.0,
 ) -> dict:
     """Score a single conversation pair. Pure Python — unit-testable oracle;
     the pandas UDF below maps it over Arrow batches."""
@@ -238,12 +263,45 @@ def score_one_pair(
     boost = shared_coauthor_boost(focus, shared, ambig, cn_counts, ambig_sum_total)
     boost = min(boost, params.coauthor_boost_cap)
 
-    ic_sum = sum(idf.get(t, 0.0) for t in tf1 if t in tf2)
-    gate_thres = params.ic_gate_scale * math.log(max(overestimate_ambig(focus, ambig), math.e))
-    gate = ic_sum >= gate_thres
+    shared_terms = [t for t in tf1 if t in tf2]
+    ic_sum = sum(idf.get(t, 0.0) for t in shared_terms)
 
+    # single-shared-term frequency veto (ConceptNet.pm:6059-6066 +
+    # getTermFreqThresByAmbig :5475-5497, freqSumThres :5837-5838)
+    if (
+        params.single_term_veto
+        and len(shared_terms) == 1
+        and max_df > 0
+        and n_docs > 0
+    ):
+        amb_f = overestimate_ambig(focus, ambig)
+        fst = max_df * params.max_single_shared_ambig / (
+            amb_f * params.share_randomness_boost
+        )
+        df = lambda t: n_docs * math.exp(-idf.get(t, 0.0))  # noqa: E731
+        fthres = min(
+            term_freq_thres_by_ambig([df(t) for t in tf1], fst),
+            term_freq_thres_by_ambig([df(t) for t in tf2], fst),
+        )
+        if df(shared_terms[0]) > fthres:
+            content = 0.0
+            ic_sum = 0.0
+
+    gate_thres = params.ic_gate_scale * math.log(max(overestimate_ambig(focus, ambig), math.e))
     venue_boost = min(max(cslr_tool, params.venue_boost_floor), params.venue_boost_cap)
-    base = params.w_content * content + params.w_taxonomy * taxonomy + params.w_jw * jw
+    prior = min(params.threshold, params.empty_vec_prior_cap)
+    if not tf1 or not tf2:
+        # empty-vector prior (ConceptNet.pm:6038-6053): no term evidence
+        # is not negative evidence — the gate auto-passes and the pair can
+        # merge on venue/coauthor boosts
+        base = prior
+        gate = True
+    else:
+        base = params.w_content * content + params.w_taxonomy * taxonomy + params.w_jw * jw
+        if params.use_simi_lower_bound and 0.0 < base < prior:
+            # similarity floor (:6084-6089) — gate still decides below
+            base = prior
+        gate = ic_sum >= gate_thres
     score = base * venue_boost * boost * ydisc if gate else 0.0
 
     return {
@@ -272,6 +330,11 @@ class SideTables:
     idf: dict[str, float] = field(default_factory=dict)
     tool_simi_map: dict[str, list[tuple[str, float]]] = field(default_factory=dict)
     cat_ic: dict[str, float] = field(default_factory=dict)
+    # corpus size + max term document-frequency, for the single-shared-term
+    # veto: df(t) = n_docs * exp(-idf(t)) inverts idf = ln(n/df), so the
+    # veto needs no extra broadcast table beyond these two scalars
+    n_docs: float = 0.0
+    max_df: float = 0.0
 
 
 def collect_side_tables(
@@ -293,6 +356,9 @@ def collect_side_tables(
         }
     if idf is not None:
         st.idf = {r["term"]: float(r["idf"]) for r in idf.collect()}
+        st.n_docs = float(features.select("conv_id").distinct().count())
+        if st.idf:
+            st.max_df = st.n_docs * math.exp(-min(st.idf.values()))
     if tool_similarity is not None:
         m: dict[str, list[tuple[str, float]]] = {}
         for r in tool_similarity.collect():
@@ -328,6 +394,8 @@ def score_pairs(
             "idf": side.idf,
             "tool_simi_map": side.tool_simi_map,
             "cat_ic": side.cat_ic,
+            "n_docs": side.n_docs,
+            "max_df": side.max_df,
             "params": params,
         }
     )
@@ -346,6 +414,8 @@ def score_pairs(
             idf=sv["idf"],
             tool_simi_map=sv["tool_simi_map"],
             cat_ic=sv["cat_ic"],
+            n_docs=sv["n_docs"],
+            max_df=sv["max_df"],
             params=p,
         )
         for pdf in batches:
@@ -517,6 +587,8 @@ def score_pairs_fast(
             "cn_counts": side.cn_counts,
             "ambig_sum_total": side.ambig_sum_total,
             "tool_simi_map": side.tool_simi_map,
+            "n_docs": side.n_docs,
+            "max_df": side.max_df,
             "params": params,
         }
     )
@@ -538,6 +610,8 @@ def score_pairs_fast(
         ambig = sv["ambig"]
         cn_counts = sv["cn_counts"]
         ambig_sum_total = sv["ambig_sum_total"]
+        n_docs = sv["n_docs"]
+        max_df = sv["max_df"]
         expander = (
             make_tool_expander(sv["tool_simi_map"]) if sv["tool_simi_map"] else None
         )
@@ -561,10 +635,16 @@ def score_pairs_fast(
                     )
                 else:
                     cnt_thres = amb_thres = 0.0
-                gate_thres = p.ic_gate_scale * math.log(
-                    max(overestimate_ambig(focus, ambig), math.e)
+                oe = overestimate_ambig(focus, ambig)
+                gate_thres = p.ic_gate_scale * math.log(max(oe, math.e))
+                # freqSumThres for the single-shared-term veto
+                # (ConceptNet.pm:5837-5838)
+                fst = (
+                    max_df * p.max_single_shared_ambig / (oe * p.share_randomness_boost)
+                    if max_df > 0
+                    else 0.0
                 )
-                st = (is_amb, cnt_thres, amb_thres, gate_thres)
+                st = (is_amb, cnt_thres, amb_thres, gate_thres, fst)
                 focus_memo[focus] = st
             return st
 
@@ -573,7 +653,7 @@ def score_pairs_fast(
             if st is None:
                 co = dict(zip(f["co_k"], f["co_f"]))
                 tools = dict(zip(f["tool_k"], f["tool_f"]))
-                is_amb, cnt_thres, amb_thres, _ = focus_state(f["focus_name"])
+                is_amb, cnt_thres, amb_thres, _, fst = focus_state(f["focus_name"])
                 if is_amb:
                     # strong-evidence filter (NLPUtil.pm:4207-4217) is a
                     # function of the conversation alone (its block's focus
@@ -589,6 +669,11 @@ def score_pairs_fast(
                     }
                 else:
                     strong = co
+                idf_arr = np.asarray(f["t_idf"], dtype=np.float64)
+                dfs = n_docs * np.exp(-idf_arr) if n_docs > 0 else idf_arr * 0.0
+                vec_thres = (
+                    term_freq_thres_by_ambig(dfs.tolist(), fst) if max_df > 0 else 0.0
+                )
                 st = (
                     co,
                     strong,
@@ -596,10 +681,12 @@ def score_pairs_fast(
                     tuple(sorted(tools.items())),
                     np.asarray(f["t_ids"], dtype=np.int64),
                     np.asarray(f["t_w"], dtype=np.float64),
-                    np.asarray(f["t_idf"], dtype=np.float64),
+                    idf_arr,
                     float(f["t_norm"]),
                     np.asarray(f["cat"], dtype=np.float64),
                     float(f["cat_norm"]),
+                    dfs,
+                    vec_thres,
                 )
                 conv_memo[cid] = st
             return st
@@ -613,10 +700,12 @@ def score_pairs_fast(
 
         def score(cid1, cid2, f1, f2) -> tuple:
             focus = f1["focus_name"]
-            co1, s1, tools1, tk1, ids1, w1, idf1, n1, cat1, cn1 = conv_state(cid1, f1)
-            co2, s2, tools2, tk2, ids2, w2, idf2, n2, cat2, cn2 = conv_state(cid2, f2)
+            (co1, s1, tools1, tk1, ids1, w1, idf1, n1, cat1, cn1,
+             dfs1, vth1) = conv_state(cid1, f1)
+            (co2, s2, tools2, tk2, ids2, w2, idf2, n2, cat2, cn2,
+             dfs2, vth2) = conv_state(cid2, f2)
             shared = [c for c in co1 if c in co2]
-            is_ambiguous, cnt_thres, amb_thres, gate_thres = focus_state(focus)
+            is_ambiguous, cnt_thres, amb_thres, gate_thres, _fst = focus_state(focus)
 
             # ---- stage 1 (identical logic to score_one_pair) -----------
             mergeable = False
@@ -676,6 +765,16 @@ def score_pairs_fast(
             content = dot / (n1 * n2) if dot != 0.0 else 0.0
             ic_sum = float(idf1[i1].sum())
 
+            # single-shared-term veto (identical to score_one_pair)
+            if (
+                p.single_term_veto
+                and i1.size == 1
+                and max_df > 0
+                and float(dfs1[i1[0]]) > min(vth1, vth2)
+            ):
+                content = 0.0
+                ic_sum = 0.0
+
             cdot = float(np.dot(cat1, cat2))
             taxonomy = cdot / (cn1 * cn2) if cdot != 0.0 else 0.0
 
@@ -688,11 +787,16 @@ def score_pairs_fast(
                 shared_coauthor_boost(focus, shared, ambig, cn_counts, ambig_sum_total),
                 p.coauthor_boost_cap,
             )
-            gate = ic_sum >= p.ic_gate_scale * math.log(
-                max(overestimate_ambig(focus, ambig), math.e)
-            )
             venue_boost = min(max(cslr_tool, p.venue_boost_floor), p.venue_boost_cap)
-            base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
+            prior = min(p.threshold, p.empty_vec_prior_cap)
+            if ids1.size == 0 or ids2.size == 0:
+                base = prior
+                gate = True
+            else:
+                base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
+                if p.use_simi_lower_bound and 0.0 < base < prior:
+                    base = prior
+                gate = ic_sum >= gate_thres
             score_val = base * venue_boost * boost * ydisc if gate else 0.0
             return (
                 bool(mergeable), reason, float(cslr_co), float(cslr_tool),
@@ -726,6 +830,8 @@ def _score_group_vectorized(
     tool_simi_map: dict,
     score_names: list[str],
     needed_only: bool = False,
+    n_docs: float = 0.0,
+    max_df: float = 0.0,
 ) -> pd.DataFrame:
     """Score one cogroup's pairs, vectorized.
 
@@ -788,10 +894,14 @@ def _score_group_vectorized(
                 )
             else:
                 cnt_thres = amb_thres = 0.0
-            gate_thres = p.ic_gate_scale * math.log(
-                max(overestimate_ambig(focus, ambig), math.e)
+            oe = overestimate_ambig(focus, ambig)
+            gate_thres = p.ic_gate_scale * math.log(max(oe, math.e))
+            fst = (
+                max_df * p.max_single_shared_ambig / (oe * p.share_randomness_boost)
+                if max_df > 0
+                else 0.0
             )
-            st = (is_amb, cnt_thres, amb_thres, gate_thres)
+            st = (is_amb, cnt_thres, amb_thres, gate_thres, fst)
             focus_memo[focus] = st
         return st
 
@@ -820,7 +930,7 @@ def _score_group_vectorized(
         for c in co:
             if c not in co_index:
                 co_index[c] = len(co_index)
-        is_amb, cnt_thres, amb_thres, _ = focus_state(focus)
+        is_amb, cnt_thres, amb_thres, _, _ = focus_state(focus)
         if is_amb:
             strong = {
                 c: v
@@ -891,6 +1001,28 @@ def _score_group_vectorized(
     taxonomy = np.zeros(P)
     np.divide(Dc, cden, out=taxonomy, where=Dc != 0.0)
 
+    # single-shared-term veto, vectorized: shared-count gram over the
+    # binary matrix; the df gram equals the lone shared term's df exactly
+    # when the count is 1 (identical to score_one_pair's branch)
+    if p.single_term_veto and max_df > 0 and n_docs > 0:
+        Dm = np.where(B > 0, n_docs * np.exp(-Widf), 0.0)
+        shared_cnt = (B @ B.T)[I, J]
+        shared_df = (Dm @ B.T)[I, J]
+        vth = np.fromiter(
+            (
+                term_freq_thres_by_ambig(
+                    (n_docs * np.exp(-np.asarray(iv, dtype=np.float64))).tolist(),
+                    focus_state(f)[4],
+                )
+                for iv, f in zip(prep_pdf["t_idf"], focus_arr)
+            ),
+            np.float64,
+            count=n,
+        )
+        veto = (np.rint(shared_cnt) == 1) & (shared_df > np.minimum(vth[I], vth[J]))
+        content[veto] = 0.0
+        ic_sum = np.where(veto, 0.0, ic_sum)
+
     d = np.where(
         yt[I] < yf[J], yf[J] - yt[I], np.where(yt[J] < yf[I], yf[I] - yt[J], 0)
     ).astype(np.float64)
@@ -906,7 +1038,9 @@ def _score_group_vectorized(
     )
 
     gth = np.fromiter((focus_state(f)[3] for f in focus_arr), np.float64, count=n)
-    gate = ic_sum >= gth[I]
+    # empty-vector prior: gate auto-passes when either side has no terms
+    emptyp = (lens[I] == 0) | (lens[J] == 0)
+    gate = emptyp | (ic_sum >= gth[I])
 
     # ---- stage 1 + coauthor channels: only pairs sharing a coauthor ------
     mergeable = np.zeros(P, dtype=bool)
@@ -1014,6 +1148,10 @@ def _score_group_vectorized(
         np.maximum(cslr_tool, p.venue_boost_floor), p.venue_boost_cap
     )
     base = p.w_content * content + p.w_taxonomy * taxonomy + p.w_jw * jw
+    prior = min(p.threshold, p.empty_vec_prior_cap)
+    if p.use_simi_lower_bound:
+        base = np.where(~emptyp & (base > 0.0) & (base < prior), prior, base)
+    base = np.where(emptyp, prior, base)
     score = np.where(gate, base * venue_boost * boost * ydisc, 0.0)
 
     return pd.DataFrame(
@@ -1070,6 +1208,8 @@ def score_pairs_grouped(
             "cn_counts": side.cn_counts,
             "ambig_sum_total": side.ambig_sum_total,
             "tool_simi_map": side.tool_simi_map,
+            "n_docs": side.n_docs,
+            "max_df": side.max_df,
             "params": params,
         }
     )
@@ -1128,6 +1268,7 @@ def score_pairs_grouped(
         res = _score_group_vectorized(
             pairs_pdf, prep_pdf, p, ambig, cn_counts, ambig_sum_total,
             sv["tool_simi_map"], score_names,
+            n_docs=sv["n_docs"], max_df=sv["max_df"],
         )
         return pd.concat(
             [pairs_pdf[pair_cols].reset_index(drop=True), res], axis=1
@@ -1179,6 +1320,8 @@ def score_blocks_exhaustive(
             "cn_counts": side.cn_counts,
             "ambig_sum_total": side.ambig_sum_total,
             "tool_simi_map": side.tool_simi_map,
+            "n_docs": side.n_docs,
+            "max_df": side.max_df,
             "params": params,
         }
     )
@@ -1234,7 +1377,7 @@ def score_blocks_exhaustive(
         res = _score_group_vectorized(
             pairs_pdf, prep_pdf, p, sv["ambig"], sv["cn_counts"],
             sv["ambig_sum_total"], sv["tool_simi_map"], score_names,
-            needed_only=True,
+            needed_only=True, n_docs=sv["n_docs"], max_df=sv["max_df"],
         )
         keep = res["stage1_mergeable"].to_numpy() | (
             res["score"].to_numpy() >= emit_floor

@@ -137,6 +137,11 @@ def run(
     side = SideTables()
     side.ambig, side.cn_counts, side.ambig_sum_total = pruned
     side.idf, side.cat_ic = corpus.idf_ic_from_stats(term_rows, int(n_convs))
+    side.n_docs = float(n_convs)
+    if side.idf:
+        import math as _math
+
+        side.max_df = side.n_docs * _math.exp(-min(side.idf.values()))
     tool_map: dict[str, list[tuple[str, float]]] = {}
     for r in ts_rows:
         tool_map.setdefault(r["tool1"], []).append((r["tool2"], float(r["linreg_simi"])))
