@@ -94,19 +94,140 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def test_lang(
+    text: str | None,
+    foreign_natives: frozenset[str] | set[str],
+    en_map: dict[str, int] | None = None,
+) -> bool:
+    """Full dictionary-vote foreign-language test — a faithful pure-Python
+    port of ``testLang`` (clean.pl:445-541) incl. the loan-phrase
+    lookahead (``matchPhrase``, clean.pl:680-702) and apostrophe words:
+
+    * tokens = [a-zA-Z']+ runs, lowercased;
+    * a token native in the foreign language votes `foreign` unless
+      English also knows it (`shared`) — and a foreign lead word of an
+      English loan phrase ("de" in "de facto") consumes the whole phrase
+      into `shared` when the following tokens complete a known loan;
+    * apostrophe words (French elision "l'analyse") count twice and vote
+      both splits;
+    * decision: short all-English titles pass; otherwise foreign wins
+      when foreign·3 >= english or shared >= english.
+
+    Returns True when the text reads as the foreign language."""
+    import re as _re
+
+    from namedis_spark.functions.langdata import (
+        LOAN_PART_PHRASE,
+        LOANWORD,
+        NATIVEWORD,
+        build_en_map,
+    )
+
+    if en_map is None:
+        en_map = build_en_map()
+    if not text:
+        return False
+    words = [w.lower() for w in _re.findall(r"[a-zA-Z']+", text)]
+    foreign = shared = eng = 0
+    total = 0
+    i = 0
+    while i < len(words):
+        w = words[i]
+        if "'" not in w or en_map.get(w, 0) & (LOAN_PART_PHRASE | LOANWORD):
+            total += 1
+            if w in foreign_natives:
+                flags = en_map.get(w, 0)
+                if not flags:
+                    foreign += 1
+                elif flags & LOAN_PART_PHRASE:
+                    # matchPhrase: greedily extend with following tokens
+                    # while prefixes stay loan-phrase parts
+                    lead, j, matched = w, i + 1, 0
+                    while j < len(words):
+                        lead = lead + " " + words[j]
+                        lf = en_map.get(lead, 0)
+                        if lf & LOANWORD:
+                            matched = j
+                            break
+                        if lf & LOAN_PART_PHRASE:
+                            j += 1
+                            continue
+                        break
+                    if matched:
+                        shared += 1
+                        total += matched - i
+                        i = matched
+                    elif flags & (NATIVEWORD | LOANWORD):
+                        shared += 1
+                    else:
+                        foreign += 1
+                elif flags & (NATIVEWORD | LOANWORD):
+                    shared += 1
+            elif w in en_map:
+                eng += 1
+            # else: unknown word — counted in total only
+        else:
+            total += 2
+            for part in w.split("'"):
+                if part in foreign_natives:
+                    foreign += 1
+                if en_map.get(part, 0) & NATIVEWORD:
+                    eng += 1
+        i += 1
+
+    if total <= 4 and eng >= total - 1:
+        return False
+    if foreign > 0 and (foreign * 3 >= eng or shared >= eng):
+        return True
+    return False
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Dictionary-vote language ID (testLang, clean.pl:445-541): English
-    stopword hit-rate as the vote; label 'en' above 2%, else 'other'.
-    (The reference votes German/French dictionaries; same mechanism.)"""
+    """Dictionary-vote language ID (testLang, clean.pl:445-541) — the
+    dual-dialect vote: per document, count German/French native hits
+    (words in the foreign list but not English), shared hits (in both)
+    and English hits, then apply the reference's decision rule per
+    language. The phrase/apostrophe refinements live in the Python port
+    ``test_lang`` (used by the cleaning filter); this engine-side vote
+    uses plain set membership so the DuckDB oracle replays it exactly."""
+    from namedis_spark.functions.langdata import (
+        DE_ONLY,
+        DE_SHARED,
+        DE_WORDS,
+        EN_WORDS,
+        FR_ONLY,
+        FR_SHARED,
+        FR_WORDS,
+    )
+
     toks = tokens_expr(text_col, "spark")
-    sw = stopword_list_sql()
-    ratio = F.size(
-        F.expr(f"filter({toks}, t -> array_contains(array({sw}), t))")
-    ) / F.greatest(F.size(F.expr(toks)), F.lit(1))
+
+    def lst(ws) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(ws))
+
+    n_words = F.size(F.expr(toks))
+    cnt = lambda ws: F.size(  # noqa: E731
+        F.expr(f"filter({toks}, t -> array_contains(array({lst(ws)}), t))")
+    )
+    de, sh_de, en_de = cnt(DE_ONLY), cnt(DE_SHARED), cnt(EN_WORDS - DE_WORDS)
+    fr, sh_fr, en_fr = cnt(FR_ONLY), cnt(FR_SHARED), cnt(EN_WORDS - FR_WORDS)
+    short_de = (n_words <= 4) & (en_de >= n_words - 1)
+    short_fr = (n_words <= 4) & (en_fr >= n_words - 1)
+    is_de = ~short_de & (de > 0) & ((de * 3 >= en_de) | (sh_de >= en_de))
+    is_fr = ~short_fr & (fr > 0) & ((fr * 3 >= en_fr) | (sh_fr >= en_fr))
+    # label tie-break: the reference only needs the binary foreign-vs-
+    # english verdict (clean.pl drops the record if EITHER test fires);
+    # for the label, the language with more native hits wins
     return docs.select(
         "doc_id",
-        F.round(ratio, 6).alias("en_vote"),
-        F.when(ratio > 0.02, "en").otherwise("other").alias("lang_pred"),
+        n_words.alias("n_words"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        cnt(EN_WORDS).alias("en_hits"),
+        F.when(is_de & (~is_fr | (de >= fr)), "de")
+        .when(is_fr, "fr")
+        .otherwise("en")
+        .alias("lang_pred"),
     )
 
 

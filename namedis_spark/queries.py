@@ -1766,23 +1766,58 @@ def quality_scores_q(spark, sf_dir):
     return quality_scores(spark.table("documents"))
 
 
-@q(
-    "language_id",
-    f"""
-    SELECT doc_id,
-           round(len(list_filter({tokens_expr('text', 'duckdb')},
-                                 t -> list_contains([{stopword_list_sql()}], t)))
-                 / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double), 6)
-               AS en_vote,
-           CASE WHEN len(list_filter({tokens_expr('text', 'duckdb')},
-                                     t -> list_contains([{stopword_list_sql()}], t)))
-                     / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double) > 0.02
-                THEN 'en' ELSE 'other' END AS lang_pred
-    FROM documents
-    """,
-)
+def _language_id_oracle() -> str:
+    from namedis_spark.functions.langdata import (
+        DE_ONLY,
+        DE_SHARED,
+        DE_WORDS,
+        EN_WORDS,
+        FR_ONLY,
+        FR_SHARED,
+        FR_WORDS,
+    )
+
+    toks = tokens_expr("text", "duckdb")
+    lst = lambda ws: ", ".join(f"'{w}'" for w in sorted(ws))  # noqa: E731
+    cnt = lambda ws: (  # noqa: E731
+        f"len(list_filter(toks, t -> list_contains([{lst(ws)}], t)))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    votes AS (
+        SELECT doc_id, len(toks) AS n_words,
+               {cnt(DE_ONLY)} AS de_hits, {cnt(DE_SHARED)} AS sh_de,
+               {cnt(EN_WORDS - DE_WORDS)} AS en_de,
+               {cnt(FR_ONLY)} AS fr_hits, {cnt(FR_SHARED)} AS sh_fr,
+               {cnt(EN_WORDS - FR_WORDS)} AS en_fr,
+               {cnt(EN_WORDS)} AS en_hits
+        FROM t
+    )
+    , flags AS (
+        SELECT *,
+               (NOT (n_words <= 4 AND en_de >= n_words - 1)
+                AND de_hits > 0
+                AND (de_hits * 3 >= en_de OR sh_de >= en_de)) AS is_de,
+               (NOT (n_words <= 4 AND en_fr >= n_words - 1)
+                AND fr_hits > 0
+                AND (fr_hits * 3 >= en_fr OR sh_fr >= en_fr)) AS is_fr
+        FROM votes
+    )
+    SELECT doc_id, n_words, de_hits, fr_hits, en_hits,
+           CASE WHEN is_de AND (NOT is_fr OR de_hits >= fr_hits) THEN 'de'
+                WHEN is_fr THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM flags
+    """
+
+
+@q("language_id", _language_id_oracle())
 def language_id_q(spark, sf_dir):
-    """dictionary-vote language ID (testLang, clean.pl:445-541)."""
+    """Dictionary-vote language ID (testLang, clean.pl:445-541): per
+    document, German/French native-word votes against English with the
+    reference's decision rule (short-English pass, foreign*3 >= english
+    or shared >= english). The loan-phrase lookahead + apostrophe
+    handling live in the Python port operators.textops.test_lang."""
     from namedis_spark.operators.textops import language_id
 
     register_views(spark, sf_dir)

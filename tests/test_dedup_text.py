@@ -273,3 +273,52 @@ def test_plan_hygiene_features_scan(spark, tmp_path):
     proj = src.where(F.col("turn_idx") == 0).select("conv_id", "role")
     assert any("turn_idx" in p for p in pushed_filters(proj))
     assert set(read_schema_columns(proj)) == {"conv_id", "role", "turn_idx"}
+
+
+def test_test_lang_dictionary_vote():
+    """Faithful testLang port (clean.pl:445-541): German/French titles
+    flagged foreign, English kept, loan phrases not miscounted."""
+    from namedis_spark.functions.langdata import DE_WORDS, FR_WORDS, build_en_map
+    from namedis_spark.operators.textops import test_lang
+
+    en_map = build_en_map()
+    # German title: function words dominate
+    assert test_lang(
+        "ein verfahren zur verteilten berechnung und anwendung", DE_WORDS, en_map
+    )
+    # French title
+    assert test_lang(
+        "une methode pour le traitement des donnees dans les reseaux",
+        FR_WORDS, en_map,
+    )
+    # plain English stays English under both tests
+    s = "a new method for the analysis of distributed systems"
+    assert not test_lang(s, DE_WORDS, en_map)
+    assert not test_lang(s, FR_WORDS, en_map)
+    # loan-phrase lookahead: 'de facto' must NOT vote French — the lead
+    # word consumes the phrase into shared (matchPhrase, clean.pl:680-702)
+    s = "the de facto standards for web services and their evaluation"
+    assert not test_lang(s, FR_WORDS, en_map)
+    # but bare French 'de' inside French text still votes foreign
+    assert test_lang("etude de la methode de calcul des reseaux", FR_WORDS, en_map)
+    # apostrophe elision counts both splits (French l'analyse)
+    assert test_lang("l'analyse des donnees et le calcul", FR_WORDS, en_map)
+    # short all-English titles always pass (totalwordcount <= 4 rule)
+    assert not test_lang("the new model", DE_WORDS, en_map)
+
+
+def test_language_id_operator_votes(spark):
+    from namedis_spark.operators.textops import language_id
+
+    rows = [
+        (1, "ein verfahren zur verteilten berechnung und anwendung"),
+        (2, "une methode pour le traitement des donnees dans les reseaux"),
+        (3, "a new method for the analysis of distributed systems"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "en"
+    assert got[4] == "en"
