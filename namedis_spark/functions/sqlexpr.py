@@ -25,11 +25,40 @@ def tokens_expr(col: str, dialect: str) -> str:
 
 def lemma_case(var: str = "t") -> str:
     """CASE chain implementing functions.text.lemma — identical text works
-    in both dialects."""
+    in both dialects. Generated from the SAME irregular/doubling/e-restore
+    tables the Python lemmatizer uses, so the engines cannot drift."""
+    from namedis_spark.functions.text import (
+        _DOUBLED_FORMS,
+        _E_RESTORE,
+        IRREGULAR_LEMMAS,
+    )
+
+    irr = " ".join(
+        f"WHEN {var} = '{s}' THEN '{l}'" for s, l in sorted(IRREGULAR_LEMMAS.items())
+    )
+    doubled = ", ".join(f"'{d}'" for d in sorted(_DOUBLED_FORMS))
+    erestore = ", ".join(f"'{e}'" for e in sorted(_E_RESTORE))
+
+    def destem(stem_expr: str) -> str:
+        return (
+            f"CASE WHEN {stem_expr} IN ({doubled})"
+            f" THEN substr({stem_expr}, 1, length({stem_expr}) - 1)"
+            f" WHEN {stem_expr} IN ({erestore}) THEN {stem_expr} || 'e'"
+            f" ELSE {stem_expr} END"
+        )
+
+    ing = destem(f"substr({var}, 1, length({var}) - 3)")
+    ed = destem(f"substr({var}, 1, length({var}) - 2)")
+    es = (
+        f"({var} LIKE '%sses' OR {var} LIKE '%xes' OR {var} LIKE '%zes'"
+        f" OR {var} LIKE '%ches' OR {var} LIKE '%shes')"
+    )
     return (
-        f"CASE WHEN length({var}) > 4 AND {var} LIKE '%ies' THEN substr({var}, 1, length({var}) - 3) || 'y' "
-        f"WHEN length({var}) > 5 AND {var} LIKE '%ing' THEN substr({var}, 1, length({var}) - 3) "
-        f"WHEN length({var}) > 4 AND {var} LIKE '%ed' THEN substr({var}, 1, length({var}) - 2) "
+        f"CASE {irr} "
+        f"WHEN length({var}) > 4 AND {es} THEN substr({var}, 1, length({var}) - 2) "
+        f"WHEN length({var}) > 4 AND {var} LIKE '%ies' THEN substr({var}, 1, length({var}) - 3) || 'y' "
+        f"WHEN length({var}) > 5 AND {var} LIKE '%ing' THEN {ing} "
+        f"WHEN length({var}) > 4 AND {var} LIKE '%ed' THEN {ed} "
         f"WHEN length({var}) > 3 AND {var} LIKE '%s' AND {var} NOT LIKE '%ss' THEN substr({var}, 1, length({var}) - 1) "
         f"ELSE {var} END"
     )

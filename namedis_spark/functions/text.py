@@ -43,23 +43,135 @@ def tokenize_content(text: str | None) -> list[str]:
     return [t for t in tokenize(text) if t not in sw]
 
 
-def lemma(word: str) -> str:
-    """Deterministic suffix lemmatizer (stand-in for morpha; suffix classes
-    mirror the reference's ING/ED/NONE enum, NLPUtil.pm:2052-2177).
+# Irregular surface → lemma table (morpha-grade exceptions; the reference
+# persists discovered lemmas in lemma-cache.txt, NLPUtil.pm:408-441 — here
+# the common-English irregulars are embedded so both engines share one
+# deterministic list). Nouns dominate title text; a few frequent verbs
+# are included.
+IRREGULAR_LEMMAS: dict[str, str] = {
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "teeth": "tooth", "mice": "mouse", "geese": "goose", "people": "person",
+    "analyses": "analysis", "hypotheses": "hypothesis", "theses": "thesis",
+    "bases": "basis", "axes": "axis", "crises": "crisis",
+    "indices": "index", "matrices": "matrix", "vertices": "vertex",
+    "criteria": "criterion", "phenomena": "phenomenon",
+    "automata": "automaton", "corpora": "corpus", "schemata": "schema",
+    "series": "series", "media": "medium", "data": "data",
+    "taken": "take", "took": "take", "given": "give", "gave": "give",
+    "made": "make", "ran": "run", "wrote": "write", "written": "write",
+    "found": "find", "built": "build", "brought": "bring",
+    "bought": "buy", "thought": "think", "seen": "see", "saw": "see",
+    "done": "do", "did": "do", "went": "go", "gone": "go",
+    "said": "say", "got": "get", "held": "hold", "left": "leave",
+    "chosen": "choose", "chose": "choose", "driven": "drive",
+    "drawn": "draw", "grown": "grow", "known": "know", "shown": "show",
+}
 
-    SQL-expressible as a CASE chain:
-      *ies->y (len>4); *ing-> stem (len>5); *ed->stem (len>4);
+# Consonant-doubling verb stems (morpha's verbstem behavior): after
+# stripping -ing/-ed, a doubled final consonant from one of these stems is
+# undoubled (mapping → map) — but NOT for stems outside the list
+# (falling → fall keeps its double l).
+DOUBLING_STEMS: tuple[str, ...] = (
+    "map", "plan", "run", "stop", "set", "fit", "get", "put", "cut",
+    "log", "tag", "drop", "embed", "wrap", "swap", "split", "ship",
+    "trim", "scan", "skip", "flag", "chop", "pin", "sum",
+)
+_DOUBLED_FORMS = frozenset(s + s[-1] for s in DOUBLING_STEMS)
+
+# Silent-e stems: after stripping -ing/-ed the e is restored
+# (computing → compute); list-driven so both engines agree exactly.
+E_RESTORE_STEMS: tuple[str, ...] = (
+    "comput", "stor", "cod", "encod", "decod", "sampl", "scal",
+    "schedul", "pars", "analyz", "optimiz", "cach", "pipelin", "merg",
+    "combin", "creat", "generat", "integrat", "iterat", "updat",
+    "evaluat", "estimat", "simulat", "measur", "structur", "tun",
+)
+_E_RESTORE = frozenset(E_RESTORE_STEMS)
+
+
+def _destem(stem: str) -> str:
+    """Post-strip fixups shared by the -ing and -ed branches."""
+    if stem in _DOUBLED_FORMS:
+        return stem[:-1]
+    if stem in _E_RESTORE:
+        return stem + "e"
+    return stem
+
+
+def lemma(word: str) -> str:
+    """Deterministic lemmatizer (stand-in for morpha; suffix classes mirror
+    the reference's ING/ED/NONE enum, NLPUtil.pm:2052-2177): irregular
+    table first, then suffix rules with consonant-undoubling and
+    silent-e restoration.
+
+    SQL-expressible as a CASE chain (generated from the SAME tables in
+    functions/sqlexpr.lemma_case):
+      irregulars; *sses/*xes/*zes/*ches/*shes -> strip es (len>4);
+      *ies->y (len>4); *ing-> destem (len>5); *ed->destem (len>4);
       *s (not *ss) -> strip (len>3).
     """
+    irr = IRREGULAR_LEMMAS.get(word)
+    if irr is not None:
+        return irr
+    if len(word) > 4 and word.endswith(("sses", "xes", "zes", "ches", "shes")):
+        return word[:-2]
     if len(word) > 4 and word.endswith("ies"):
         return word[:-3] + "y"
     if len(word) > 5 and word.endswith("ing"):
-        return word[:-3]
+        return _destem(word[:-3])
     if len(word) > 4 and word.endswith("ed"):
-        return word[:-2]
+        return _destem(word[:-2])
     if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
         return word[:-1]
     return word
+
+
+# Suffix classes (reference enum SUFFIX_NONE/ING/ED, NLPUtil.pm lemma
+# cache format `surface \t lemma \t suffixEnum`, :408-441, 4489-4492)
+SUFFIX_NONE, SUFFIX_ING, SUFFIX_ED, SUFFIX_S = 0, 1, 2, 3
+
+
+def lemma_with_suffix(word: str) -> tuple[str, int]:
+    """(lemma, suffix class) — the persisted-cache record shape."""
+    irr = IRREGULAR_LEMMAS.get(word)
+    if irr is not None:
+        return irr, SUFFIX_NONE
+    if len(word) > 4 and word.endswith(("sses", "xes", "zes", "ches", "shes")):
+        return word[:-2], SUFFIX_S
+    if len(word) > 4 and word.endswith("ies"):
+        return word[:-3] + "y", SUFFIX_S
+    if len(word) > 5 and word.endswith("ing"):
+        return _destem(word[:-3]), SUFFIX_ING
+    if len(word) > 4 and word.endswith("ed"):
+        return _destem(word[:-2]), SUFFIX_ED
+    if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
+        return word[:-1], SUFFIX_S
+    return word, SUFFIX_NONE
+
+
+def load_lemma_cache(path: str) -> dict[str, tuple[str, int]]:
+    """Load a persisted lemma cache (TSV `surface \\t lemma \\t suffix`,
+    NLPUtil.pm:408-441). Missing file → empty cache."""
+    import os
+
+    out: dict[str, tuple[str, int]] = {}
+    if not os.path.exists(path):
+        return out
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 3:
+                out[parts[0]] = (parts[1], int(parts[2]))
+    return out
+
+
+def save_lemma_cache(path: str, cache: dict[str, tuple[str, int]]) -> None:
+    """Persist the lemma cache (saved at exit in the reference,
+    NLPUtil.pm:4489-4492); sorted for determinism."""
+    with open(path, "w", encoding="utf-8") as fh:
+        for surface in sorted(cache):
+            lm, sfx = cache[surface]
+            fh.write(f"{surface}\t{lm}\t{sfx}\n")
 
 
 def normalize_name_key(name: str | None) -> str:

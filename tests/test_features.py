@@ -222,3 +222,78 @@ def test_twochar_surname_classifications():
 
     assert chinese_name_chars("duanmu hong") == 2
     assert chinese_name_chars("dongfang xiaoming") == 0
+
+
+def test_lemma_irregulars_and_destem_goldens():
+    from namedis_spark.functions.text import lemma, lemma_with_suffix
+
+    # irregular table
+    assert lemma("matrices") == "matrix"
+    assert lemma("analyses") == "analysis"
+    assert lemma("children") == "child"
+    assert lemma("written") == "write"
+    # -es after sibilants (the plain s-strip would leave 'classe'/'boxe')
+    assert lemma("classes") == "class"
+    assert lemma("boxes") == "box"
+    assert lemma("matches") == "match"
+    # consonant undoubling, list-gated
+    assert lemma("mapping") == "map"
+    assert lemma("planned") == "plan"
+    assert lemma("falling") == "fall"   # NOT in the doubling list
+    # silent-e restore
+    assert lemma("computing") == "compute"
+    assert lemma("encoded") == "encode"
+    assert lemma("learning") == "learn"  # no e-restore
+    # suffix classes for the persisted cache
+    assert lemma_with_suffix("mapping") == ("map", 1)
+    assert lemma_with_suffix("planned") == ("plan", 2)
+    assert lemma_with_suffix("classes") == ("class", 3)
+    assert lemma_with_suffix("matrix") == ("matrix", 0)
+
+
+def test_lemma_cache_roundtrip(tmp_path):
+    from namedis_spark.functions.text import (
+        lemma_with_suffix,
+        load_lemma_cache,
+        save_lemma_cache,
+    )
+
+    cache = {w: lemma_with_suffix(w) for w in ["mapping", "classes", "matrices"]}
+    p = str(tmp_path / "lemma-cache.txt")
+    save_lemma_cache(p, cache)
+    assert load_lemma_cache(p) == cache
+    assert load_lemma_cache(str(tmp_path / "missing.txt")) == {}
+
+
+def test_lemma_sql_twins_match_python(spark):
+    """The generated CASE chain must agree with functions.text.lemma in
+    BOTH engines across regulars, irregulars, doubling and e-restore."""
+    import duckdb
+
+    from namedis_spark.functions.sqlexpr import lemma_case
+    from namedis_spark.functions.text import IRREGULAR_LEMMAS, lemma
+
+    words = sorted(
+        set(IRREGULAR_LEMMAS)
+        | {
+            "classes", "boxes", "matches", "studies", "mapping", "planned",
+            "falling", "computing", "encoded", "learning", "networks",
+            "process", "press", "using", "queries", "caches", "dropped",
+            "s", "es", "ing", "a", "model",
+        }
+    )
+    expected = {w: lemma(w) for w in words}
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = {
+        r["w"]: r["l"]
+        for r in df.selectExpr("w", lemma_case("w") + " AS l").collect()
+    }
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    got_duck = dict(
+        con.sql(f"SELECT w, {lemma_case('w')} AS l FROM (VALUES {vals}) t(w)").fetchall()
+    )
+    assert got_duck == expected
