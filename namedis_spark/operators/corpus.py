@@ -783,3 +783,42 @@ def term_ic(features: DataFrame) -> DataFrame:
     return all_freq.select(
         "term", "freq", F.round(F.log(F.lit(float(mc))) - F.log("freq"), 6).alias("ic")
     )
+
+
+def name_part_logprobs(features: DataFrame):
+    """Occurrence-weighted surname/givenname log-probability tables for
+    the name-order vote (the SURNAMES / GIVEN_NAMES sections of
+    ambiguity.csv, cnambig.pl:534-576; loaded as logSurnameProb /
+    logGivennameProb, NLPUtil.pm:1878-1949).
+
+    Documented simplification vs name_part_probs: weights are raw surface
+    occurrence counts over two-part focus surfaces (forward convention:
+    first part given, last part surname) instead of the ambiguity
+    fixed-point mass — the vote only consumes likelihood RATIOS, and
+    occurrence weighting preserves those without re-running the fixed
+    point. Returns two driver-side dicts (part → ln prob); the name-part
+    vocabulary is side-table-sized by construction."""
+    import math as _math
+
+    surf = (
+        features.select(F.lower(F.col("focus_raw")).alias("s"))
+        .withColumn("s", F.regexp_replace("s", "-", ""))
+        .withColumn("parts", F.split("s", " +"))
+        .where(F.size("parts") == 2)
+        .select(
+            F.element_at("parts", 1).alias("given"),
+            F.element_at("parts", 2).alias("surname"),
+        )
+        .groupBy("given", "surname")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    ).collect()
+    sur_cnt: dict[str, float] = {}
+    giv_cnt: dict[str, float] = {}
+    for r in surf:
+        sur_cnt[r["surname"]] = sur_cnt.get(r["surname"], 0.0) + r["occ"]
+        giv_cnt[r["given"]] = giv_cnt.get(r["given"], 0.0) + r["occ"]
+    s_tot = sum(sur_cnt.values()) or 1.0
+    g_tot = sum(giv_cnt.values()) or 1.0
+    sur_lp = {k: _math.log(v / s_tot) for k, v in sur_cnt.items()}
+    giv_lp = {k: _math.log(v / g_tot) for k, v in giv_cnt.items()}
+    return sur_lp, giv_lp

@@ -156,6 +156,8 @@ def score_one_pair(
     params: ScoringParams,
     n_docs: float = 0.0,
     max_df: float = 0.0,
+    surname_lp: dict[str, float] | None = None,
+    given_lp: dict[str, float] | None = None,
 ) -> dict:
     """Score a single conversation pair. Pure Python — unit-testable oracle;
     the pandas UDF below maps it over Arrow batches."""
@@ -236,7 +238,17 @@ def score_one_pair(
         # venue boost = max(expanded, plain) (ConceptNet.pm:5888-5907)
         cslr_tool = max(cslr_tool_plain, cslr_tool_exp)
 
-    jw = jaro_winkler(f1.get("focus_raw") or focus, f2.get("focus_raw") or focus)
+    # name-order vote feeds the JW channel: reversed surfaces are
+    # re-oriented to given-name-first before comparison, so
+    # "Wang Wei" vs "Wei Wang" carries signal instead of a low JW
+    from namedis_spark.functions.nameorder import name_reverse_vote, orient_name
+
+    r1 = f1.get("focus_raw") or focus
+    r2 = f2.get("focus_raw") or focus
+    if surname_lp or given_lp:
+        r1 = orient_name(r1, name_reverse_vote([r1], surname_lp or {}, given_lp or {}))
+        r2 = orient_name(r2, name_reverse_vote([r2], surname_lp or {}, given_lp or {}))
+    jw = jaro_winkler(r1, r2)
 
     tf1 = _as_dict(f1["term_freq"])
     tf2 = _as_dict(f2["term_freq"])
@@ -335,6 +347,11 @@ class SideTables:
     # veto needs no extra broadcast table beyond these two scalars
     n_docs: float = 0.0
     max_df: float = 0.0
+    # surname/givenname log-probability tables for the name-order vote
+    # (testChnNameReverse, NLPUtil.pm:1750-1851; built by
+    # corpus.name_part_logprobs)
+    surname_lp: dict[str, float] = field(default_factory=dict)
+    given_lp: dict[str, float] = field(default_factory=dict)
 
 
 def collect_side_tables(
@@ -344,6 +361,7 @@ def collect_side_tables(
     idf: DataFrame | None = None,
     tool_similarity: DataFrame | None = None,
     ic: DataFrame | None = None,
+    name_order: bool = False,
 ) -> SideTables:
     """Materialize the (small) corpus side tables into broadcast dicts."""
     st = SideTables()
@@ -370,6 +388,10 @@ def collect_side_tables(
         st.cat_ic = {
             r["term"]: float(r["ic"]) for r in ic.collect() if r["term"].startswith("cat_")
         }
+    if name_order:
+        from namedis_spark.operators.corpus import name_part_logprobs
+
+        st.surname_lp, st.given_lp = name_part_logprobs(features)
     return st
 
 
@@ -396,6 +418,8 @@ def score_pairs(
             "cat_ic": side.cat_ic,
             "n_docs": side.n_docs,
             "max_df": side.max_df,
+            "surname_lp": side.surname_lp,
+            "given_lp": side.given_lp,
             "params": params,
         }
     )
@@ -416,6 +440,8 @@ def score_pairs(
             cat_ic=sv["cat_ic"],
             n_docs=sv["n_docs"],
             max_df=sv["max_df"],
+            surname_lp=sv["surname_lp"],
+            given_lp=sv["given_lp"],
             params=p,
         )
         for pdf in batches:
@@ -438,6 +464,7 @@ PREP_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType()),
         T.StructField("focus_name", T.StringType()),
         T.StructField("focus_raw", T.StringType()),
+        T.StructField("focus_oriented", T.StringType()),
         T.StructField("co_k", T.ArrayType(T.StringType())),
         T.StructField("co_f", T.ArrayType(T.DoubleType())),
         T.StructField("tool_k", T.ArrayType(T.StringType())),
@@ -476,12 +503,38 @@ def prepare_scoring(
     fat string maps never ride the pair shuffle."""
     import numpy as np
 
-    bc = spark.sparkContext.broadcast({"idf": side.idf, "cat_ic": side.cat_ic})
+    bc = spark.sparkContext.broadcast(
+        {
+            "idf": side.idf,
+            "cat_ic": side.cat_ic,
+            "surname_lp": side.surname_lp,
+            "given_lp": side.given_lp,
+        }
+    )
 
     def prep(batches):
+        from namedis_spark.functions.nameorder import name_reverse_vote, orient_name
+
         sv = bc.value
         idf = sv["idf"]
         cat_ic = sv["cat_ic"]
+        sur_lp = sv["surname_lp"]
+        giv_lp = sv["given_lp"]
+        orient_cache: dict[str, str] = {}
+
+        def oriented(raw: str) -> str:
+            # name-order vote (testChnNameReverse) per surface, memoized —
+            # reversed surfaces re-oriented given-name-first so the JW
+            # channel compares like with like
+            o = orient_cache.get(raw)
+            if o is None:
+                if sur_lp or giv_lp:
+                    o = orient_name(raw, name_reverse_vote([raw], sur_lp, giv_lp))
+                else:
+                    o = raw
+                orient_cache[raw] = o
+            return o
+
         cat_idx_cache: dict[str, int] = {}
 
         def cat_idx(t: str) -> int:
@@ -510,6 +563,10 @@ def prepare_scoring(
                 "conv_id": pdf["conv_id"],
                 "focus_name": pdf["focus_name"],
                 "focus_raw": pdf["focus_raw"],
+                "focus_oriented": [
+                    oriented(r or f)
+                    for r, f in zip(pdf["focus_raw"], pdf["focus_name"])
+                ],
             }
             co_k, co_f, tool_k, tool_f = [], [], [], []
             t_ids, t_w, t_idf, t_norm = [], [], [], []
@@ -751,8 +808,8 @@ def score_pairs_fast(
                     cslr_tool = max(cslr_tool, cslr_tool_exp)
                 tool_cslr_memo[(tk1, tk2)] = cslr_tool
 
-            r1 = f1["focus_raw"] or focus
-            r2 = f2["focus_raw"] or focus
+            r1 = f1["focus_oriented"] or f1["focus_raw"] or focus
+            r2 = f2["focus_oriented"] or f2["focus_raw"] or focus
             jw = jw_memo.get((r1, r2))
             if jw is None:
                 jw = jaro_winkler(r1, r2)
@@ -909,7 +966,11 @@ def _score_group_vectorized(
     cid_arr = prep_pdf["conv_id"].to_numpy()
     idx = {c: i for i, c in enumerate(cid_arr)}
     focus_arr = prep_pdf["focus_name"].to_numpy()
-    raw_arr = prep_pdf["focus_raw"].to_numpy()
+    raw_arr = (
+        prep_pdf["focus_oriented"].fillna(prep_pdf["focus_raw"]).to_numpy()
+        if "focus_oriented" in prep_pdf.columns
+        else prep_pdf["focus_raw"].to_numpy()
+    )
     yf = prep_pdf["year_from"].to_numpy(dtype=np.int64)
     yt = prep_pdf["year_to"].to_numpy(dtype=np.int64)
     tnorm = prep_pdf["t_norm"].to_numpy(dtype=np.float64)

@@ -126,9 +126,11 @@ def run(
         # idf + IC derive from ONE explode+groupBy scan (vocab-sized collect)
         f_terms = ex.submit(lambda: corpus.term_stats_rows(features))
         f_ts = ex.submit(lambda: corpus.tool_simi(features).collect())
+        f_np = ex.submit(lambda: corpus.name_part_logprobs(features))
         pruned, n_convs, term_rows, ts_rows = (
             f_side.result(), f_n.result(), f_terms.result(), f_ts.result(),
         )
+        name_part_lps = f_np.result()
         f_pairs.result()
     hits.unpersist()
 
@@ -148,6 +150,7 @@ def run(
     for v in tool_map.values():
         v.sort(key=lambda kv: (-kv[1], kv[0]))
     side.tool_simi_map = tool_map
+    side.surname_lp, side.given_lp = name_part_lps
     tick("side_tables")
 
     # -- blocking + scoring (stage snapshot) ------------------------------

@@ -2295,6 +2295,183 @@ def _cantonese_name_oracle() -> str:
     )
 
 
+def _name_votes_oracle() -> str:
+    from namedis_spark.functions.nameorder import derived_name_exprs
+    from namedis_spark.functions.text import (
+        TWOCHAR_SURNAMES,
+        cantonese_syllables,
+        pinyin_syllables,
+    )
+
+    name1, name2 = derived_name_exprs("duckdb", "conv_id")
+    syl = ", ".join(f"('{s}')" for s in pinyin_syllables())
+    csyl = ", ".join(f"('{s}')" for s in cantonese_syllables())
+    two = ", ".join(f"'{s}'" for s in TWOCHAR_SURNAMES)
+    # syllable count: 1 if a single syllable, 2 if a two-syllable
+    # concatenation (loadPinyin overwrite order resolves 1↔2 to 1), else 0
+    pin = lambda p: f"""
+        CASE WHEN {p} IN (SELECT q.s FROM syl q) THEN 1
+             WHEN EXISTS (SELECT 1 FROM syl a JOIN syl b ON a.s || b.s = {p}) THEN 2
+             ELSE 0 END"""  # noqa: E731
+    return f"""
+    WITH transcripts AS ({transcripts_sql('duckdb')}),
+    syl(s) AS (VALUES {syl}),
+    csyl(s) AS (VALUES {csyl}),
+    convs AS (SELECT DISTINCT conv_id FROM transcripts),
+    raw_names AS (
+        SELECT conv_id, 1 AS sn, {name1} AS nm FROM convs
+        UNION ALL SELECT conv_id, 2, {name2} FROM convs
+    ),
+    parts AS (
+        SELECT conv_id, sn, nm,
+               (string_split(nm, ' '))[1] AS first_raw,
+               (string_split(nm, ' '))[2] AS second_raw
+        FROM raw_names
+    ),
+    feats0 AS (
+        SELECT conv_id, sn,
+               contains(first_raw, '-') AS hyph1,
+               replace(first_raw, '-', '') AS f,
+               second_raw AS s
+        FROM parts
+    ),
+    plainparts AS (
+        -- probability tables from the plain single/single surfaces only
+        SELECT f0.f AS given, f0.s AS surname FROM feats0 f0
+        WHERE NOT f0.hyph1 AND {pin('f0.f')} = 1 AND {pin('f0.s')} = 1
+    ),
+    sur AS (SELECT surname AS part, CAST(count(*) AS bigint) AS cnt
+            FROM plainparts GROUP BY 1),
+    giv AS (SELECT given AS part, CAST(count(*) AS bigint) AS cnt
+            FROM plainparts GROUP BY 1),
+    tots AS (SELECT (SELECT sum(cnt) FROM sur) AS st,
+                    (SELECT sum(cnt) FROM giv) AS gt),
+    surlp AS (SELECT part, CAST(floor(ln(CAST(cnt AS double)
+                 / (SELECT st FROM tots)) * 1e6 + 0.5) AS bigint) AS lp FROM sur),
+    givlp AS (SELECT part, CAST(floor(ln(CAST(cnt AS double)
+                 / (SELECT gt FROM tots)) * 1e6 + 0.5) AS bigint) AS lp FROM giv),
+    nv AS (
+        SELECT f0.conv_id, f0.sn,
+               {pin('f0.f')} AS pin1, {pin('f0.s')} AS pin2,
+               f0.hyph1,
+               f0.f IN (SELECT q.s FROM csyl q) AS can1,
+               f0.s IN (SELECT q.s FROM csyl q) AS can2,
+               f0.f IN ({two}) AS two1, f0.s IN ({two}) AS two2,
+               ss.lp AS sur_s, sf.lp AS sur_f, gf.lp AS giv_f, gs.lp AS giv_s
+        FROM feats0 f0
+        LEFT JOIN surlp ss ON ss.part = f0.s
+        LEFT JOIN surlp sf ON sf.part = f0.f
+        LEFT JOIN givlp gf ON gf.part = f0.f
+        LEFT JOIN givlp gs ON gs.part = f0.s
+    ),
+    votes AS (
+        SELECT conv_id, sn,
+               (pin2 = 2 AND NOT two2 AND NOT can2)
+               OR (pin1 = 1 AND pin2 = 1 AND (sur_s IS NULL OR giv_f IS NULL))
+                   AS sure_rev,
+               hyph1
+               OR (pin1 = 2 AND NOT two1 AND NOT can1)
+               OR (pin1 = 1 AND pin2 = 1 AND (sur_f IS NULL OR giv_s IS NULL))
+                   AS sure_not,
+               CASE WHEN pin1 = 1 AND pin2 = 1
+                         AND sur_s IS NOT NULL AND giv_f IS NOT NULL
+                         AND sur_f IS NOT NULL AND giv_s IS NOT NULL
+                    THEN sur_s + giv_f ELSE 0 END AS fwd,
+               CASE WHEN pin1 = 1 AND pin2 = 1
+                         AND sur_s IS NOT NULL AND giv_f IS NOT NULL
+                         AND sur_f IS NOT NULL AND giv_s IS NOT NULL
+                    THEN sur_f + giv_s ELSE 0 END AS rev
+        FROM nv
+    ),
+    agg AS (
+        SELECT conv_id, bool_or(sure_rev) AS sr, bool_or(sure_not) AS snr,
+               sum(fwd) AS fwd, sum(rev) AS rev
+        FROM votes GROUP BY 1
+    )
+    SELECT conv_id,
+           CAST(CASE WHEN sr AND snr THEN -1
+                     WHEN sr THEN 1
+                     WHEN snr THEN 0
+                     WHEN fwd >= rev THEN 0
+                     ELSE 1 END AS int) AS vote
+    FROM agg
+    """
+
+
+@q("name_reverse_votes", _name_votes_oracle())
+def name_reverse_votes(spark, sf_dir):
+    """Chinese-name order vote per record (testChnNameReverse,
+    NLPUtil.pm:1750-1851): two pinyin surfaces derived per conversation
+    (portable hash over a fixed syllable pool — hyphenated, concatenated
+    and plain shapes), surname/givenname log-probability tables built
+    from the plain surfaces, then the full vote (hyphen + two-syllable
+    sure-flags, asymmetric table misses, fixed-point log-likelihood sums)
+    via the pure port in functions.nameorder; the oracle replays every
+    step in SQL."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from namedis_spark.functions.nameorder import derived_name_exprs, name_reverse_vote
+
+    t = load_transcripts(spark, sf_dir)
+    n1, n2 = derived_name_exprs("spark", "conv_id")
+    names = (
+        t.select("conv_id")
+        .distinct()
+        .select("conv_id", F.expr(n1).alias("name1"), F.expr(n2).alias("name2"))
+        .persist()
+    )
+
+    # probability tables from the plain single/single surfaces (both
+    # derived names considered; the vote port gates on syllable counts)
+    import math as _math
+
+    from namedis_spark.functions.text import _SYLLABLES
+
+    rows = names.select(
+        F.explode(F.array("name1", "name2")).alias("nm")
+    ).collect()
+    sur_cnt: dict[str, float] = {}
+    giv_cnt: dict[str, float] = {}
+    for r in rows:
+        p = r["nm"].split(" ")
+        if len(p) == 2 and "-" not in r["nm"] and p[0] in _SYLLABLES and p[1] in _SYLLABLES:
+            giv_cnt[p[0]] = giv_cnt.get(p[0], 0) + 1
+            sur_cnt[p[1]] = sur_cnt.get(p[1], 0) + 1
+    st = sum(sur_cnt.values()) or 1.0
+    gt = sum(giv_cnt.values()) or 1.0
+    sur_lp = {k: _math.log(v / st) for k, v in sur_cnt.items()}
+    giv_lp = {k: _math.log(v / gt) for k, v in giv_cnt.items()}
+    bc = spark.sparkContext.broadcast((sur_lp, giv_lp))
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("vote", T.IntegerType()),
+        ]
+    )
+
+    def udf(batches):
+        slp, glp = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "vote": pd.Series(
+                        [
+                            name_reverse_vote([a, b], slp, glp)
+                            for a, b in zip(pdf["name1"], pdf["name2"])
+                        ],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    return names.mapInPandas(udf, schema=schema)
+
+
 @q("cantonese_name_flags", _cantonese_name_oracle())
 def cantonese_name_flags(spark, sf_dir):
     """Cantonese-romanization name classifier (isCantoneseName,
