@@ -79,6 +79,25 @@ _BACKGROUND = [
 
 _EPOCH_2018 = pd.Timestamp("2018-01-01").value // 10**9  # seconds
 
+# The reference's hottest truth block, as a size histogram: 'wei wang'
+# (current-truth-all/wei wang-labels.txt) has 279 clusters over 853 pubs —
+# two ~100-pub giants, a handful of mid-size clusters and a long singleton
+# tail. (size, count) pairs; Σ size·count = 853.
+REF_CLUSTER_HIST: tuple[tuple[int, int], ...] = (
+    (102, 1), (100, 1), (46, 1), (35, 1), (24, 1), (15, 1), (14, 1),
+    (12, 2), (10, 1), (9, 1), (8, 1), (7, 2), (6, 5), (5, 11), (4, 12),
+    (3, 19), (2, 44), (1, 174),
+)
+
+
+def ref_cluster_sizes() -> list[int]:
+    """The 279 cluster sizes of the reference's 'wei wang' block,
+    largest first (deterministic order)."""
+    out: list[int] = []
+    for size, cnt in REF_CLUSTER_HIST:
+        out.extend([size] * cnt)
+    return out
+
 
 def _alpha(n: int) -> str:
     """Base-26 alphabetic encoding — survives the letters-only normalizer."""
@@ -91,7 +110,9 @@ def _alpha(n: int) -> str:
             return s
 
 
-def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd.DataFrame]:
+def _block_frames(
+    seed: int, block_id: int, hot: bool, ref: bool = False
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Generate one block's transcripts + labels deterministically."""
     rng = np.random.RandomState((seed * 1_000_003 + block_id * 7919) % (2**31 - 1))
 
@@ -117,7 +138,15 @@ def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd
     ]
     block_key = " ".join(sorted(focus_canonical.split()))
 
-    if hot:
+    sizes: list[int] | None = None
+    if ref:
+        # replay the reference's 'wei wang' cluster-size distribution
+        # exactly (279 clusters / 853 conversations, singleton-heavy tail
+        # + two ~100-record giants) — the skew shape real truth data has
+        sizes = ref_cluster_sizes()
+        n_entities = len(sizes)
+        convs_per_entity = None
+    elif hot:
         n_entities = int(rng.randint(100, 140))
         convs_per_entity = (4, 12)
     else:
@@ -144,7 +173,7 @@ def _block_frames(seed: int, block_id: int, hot: bool) -> tuple[pd.DataFrame, pd
         t0 = _EPOCH_2018 + int(rng.randint(0, 6 * 365)) * 86400
         span = int(rng.randint(180, 4 * 365)) * 86400
 
-        n_convs = int(rng.randint(*convs_per_entity))
+        n_convs = sizes[e] if sizes is not None else int(rng.randint(*convs_per_entity))
         for c in range(n_convs):
             conv_id = f"b{block_id:05d}-{e:04d}-{c:04d}"
             l_rows.append((block_key, conv_id, entity_id))
@@ -182,24 +211,33 @@ def generate_transcripts(
     n_blocks: int = 20,
     seed: int = 42,
     hot_blocks: int = 1,
+    ref_blocks: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed deterministic generation: one task per block id.
 
-    Returns (transcripts, labels) DataFrames. ``hot_blocks`` leading blocks
-    are 'wei wang'-sized (100+ entities, 800+ conversations) to exercise
-    skew handling.
+    Returns (transcripts, labels) DataFrames. The first ``ref_blocks``
+    blocks replay the reference's 'wei wang' cluster-size distribution
+    exactly (279 clusters / 853 conversations); the next ``hot_blocks``
+    are generic hot blocks (100+ entities, 800+ conversations) to
+    exercise skew handling.
     """
     blocks = spark.range(n_blocks).withColumnRenamed("id", "block_id")
 
     def gen_t(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for b in pdf["block_id"].tolist():
-                yield _block_frames(seed, int(b), b < hot_blocks)[0]
+                yield _block_frames(
+                    seed, int(b), ref_blocks <= b < ref_blocks + hot_blocks,
+                    b < ref_blocks,
+                )[0]
 
     def gen_l(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for b in pdf["block_id"].tolist():
-                yield _block_frames(seed, int(b), b < hot_blocks)[1]
+                yield _block_frames(
+                    seed, int(b), ref_blocks <= b < ref_blocks + hot_blocks,
+                    b < ref_blocks,
+                )[1]
 
     # repartition so each task generates a handful of blocks (parallel, and
     # identical output no matter the parallelism level)
