@@ -36,6 +36,13 @@ HEADLINE = [
     "simhash_fingerprints",
     "dedup_exact",
     "minhash_signatures",
+    # round-2 scale paths: LSH banding with bucket caps, candidates-path
+    # ngram verify, multi-table hyperplane dedup/top-k, DAG taxonomy IC
+    "minhash_lsh_candidates",
+    "ngram_jaccard_dups",
+    "embedding_cosine_dups",
+    "ann_lsh_topk",
+    "term_ic",
 ]
 
 

@@ -147,8 +147,15 @@ def lsh_candidate_pairs(
     `max_bucket_size` docs (degenerate buckets are dropped entirely, never
     joined — the cap is enforced BEFORE the self-join, so a hot bucket
     costs one count row, not bucket² pairs). Single-doc buckets are also
-    dropped (they cannot pair)."""
-    sig = minhash_signatures(docs, text_col)
+    dropped (they cannot pair).
+
+    The signature table is persisted: the plan references it five times
+    (band explode → bucket-size filter → both join sides), and without a
+    materialization barrier Catalyst re-inlines the md5/array_min chain
+    into every reference (measured 105s → 13s at sf0.1). One short row
+    per doc; in a long-lived session the block is evicted LRU or freed
+    with the DataFrame."""
+    sig = minhash_signatures(docs, text_col).persist()
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for bnd in range(N_BANDS):
