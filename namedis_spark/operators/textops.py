@@ -237,3 +237,42 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.expr(fingerprint_expr(text_col, "spark")).alias("fingerprint")
     )
+
+
+# Venue alias map (%venueMap, NLPUtil.pm:315-317) retargeted to the tool
+# column: long-form tool names collapse to their canonical ids. Shared with
+# the SQL oracle via venue_norm_expr (generated from this dict).
+VENUE_ALIASES: tuple[tuple[str, str], ...] = (
+    ("world wide web", "www"),
+    ("congress on evolutionary computation", "ieee cec"),
+)
+
+
+def venue_norm_expr(col: str, dialect: str) -> str:
+    """Venue/tool normalization (parseDBLPBlock, NLPUtil.pm:637-648):
+    keep the first comma-section, strip ONE parenthesized track marker
+    ("ACCV (3)" → "ACCV" — an author publishes on different tracks of the
+    same conference), trim, lowercase, then apply the alias map. One
+    expression, identical semantics in both dialects."""
+    if dialect == "spark":
+        first = f"element_at(split({col}, ','), 1)"
+        stripped = f"regexp_replace({first}, '\\\\([^()]+\\\\)', '')"
+    else:
+        first = f"(string_split({col}, ','))[1]"
+        stripped = f"regexp_replace({first}, '\\(([^()]+)\\)', '')"
+    base = f"lower(trim({stripped}))"
+    expr = base
+    for alias, canon in VENUE_ALIASES:
+        expr = f"CASE WHEN {base} = '{alias}' THEN '{canon}' ELSE {expr} END"
+    return expr
+
+
+def normalize_venues(docs: DataFrame, venue_col: str = "tool") -> DataFrame:
+    """(raw, venue) normalization table over the distinct venue/tool
+    surfaces — the Spark-side of venue_norm_expr."""
+    return (
+        docs.select(F.col(venue_col).alias("raw"))
+        .where(F.col("raw").isNotNull())
+        .distinct()
+        .select("raw", F.expr(venue_norm_expr("raw", "spark")).alias("venue"))
+    )

@@ -2154,6 +2154,57 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _venue_norm_oracle() -> str:
+    from namedis_spark.operators.textops import venue_norm_expr
+
+    return (
+        _DUCK_TRANSCRIPTS
+        + f""",
+    surfaces AS (
+        SELECT DISTINCT raw FROM (
+            SELECT tool AS raw FROM transcripts WHERE tool IS NOT NULL
+            UNION SELECT tool || ' (2)' FROM transcripts WHERE tool IS NOT NULL
+            UNION SELECT upper(tool) || ', second section' FROM transcripts
+             WHERE tool IS NOT NULL
+            UNION SELECT 'World Wide Web (companion)'
+        )
+    )
+    SELECT raw, {venue_norm_expr('raw', 'duckdb')} AS venue FROM surfaces
+    """
+    )
+
+
+@q("venue_normalize", _venue_norm_oracle())
+def venue_normalize(spark, sf_dir):
+    """Venue/tool alias normalization (parseDBLPBlock venue handling,
+    NLPUtil.pm:637-648 + %venueMap :315-317): first comma-section,
+    parenthesized track marker stripped, trimmed/lowercased, alias map
+    applied. Deterministic variant surfaces (track / section / alias
+    forms) derived from the tool column in both engines."""
+    from namedis_spark.operators.textops import normalize_venues
+
+    t = load_transcripts(spark, sf_dir)
+    surfaces = (
+        t.where(F.col("tool").isNotNull())
+        .select(F.col("tool").alias("raw"))
+        .union(
+            t.where(F.col("tool").isNotNull()).select(
+                F.concat(F.col("tool"), F.lit(" (2)"))
+            )
+        )
+        .union(
+            t.where(F.col("tool").isNotNull()).select(
+                F.concat(F.upper("tool"), F.lit(", second section"))
+            )
+        )
+        .union(
+            t.limit(1).select(F.lit("World Wide Web (companion)"))
+        )
+        .distinct()
+    )
+    return normalize_venues(surfaces, venue_col="raw")
+
+
 @q("multimodal_features", None)  # binary plumbing — no SQL oracle (rows-only)
 def multimodal_features(spark, sf_dir):
     """multimodal binary-column plumbing: docs → media table (binary

@@ -322,3 +322,19 @@ def test_language_id_operator_votes(spark):
     assert got[2] == "fr"
     assert got[3] == "en"
     assert got[4] == "en"
+
+
+def test_venue_normalization(spark):
+    from namedis_spark.operators.textops import normalize_venues
+
+    rows = [
+        ("ACCV (3)",), ("SIGMOD Conference, Industrial Track",),
+        ("World Wide Web",), ("tool_07",), ("  Padded  ",),
+    ]
+    docs = spark.createDataFrame(rows, "tool string")
+    got = {r["raw"]: r["venue"] for r in normalize_venues(docs).collect()}
+    assert got["ACCV (3)"] == "accv"
+    assert got["SIGMOD Conference, Industrial Track"] == "sigmod conference"
+    assert got["World Wide Web"] == "www"         # alias map
+    assert got["tool_07"] == "tool_07"
+    assert got["  Padded  "] == "padded"
