@@ -299,7 +299,6 @@ def embedding_cosine_pairs(
     per-pair miss probability at cosine = 0.95 is ≈ 1.3e-4 (and falls
     rapidly above the threshold); see operators/similarity.py."""
     from namedis_spark.operators.similarity import (
-        ANN_N_PLANES,
         ANN_N_TABLES,
         exact_cosine,
         lsh_candidates,
@@ -308,6 +307,8 @@ def embedding_cosine_pairs(
     cand = lsh_candidates(
         embeddings,
         n_tables=n_tables or ANN_N_TABLES,
-        n_planes=n_planes or ANN_N_PLANES,
+        # None -> adaptive plane count (bounded log2 of the corpus size,
+        # keeping expected bucket sizes flat as the corpus grows)
+        n_planes=n_planes,
     )
     return exact_cosine(cand, embeddings).where(F.col("cosine") >= threshold)

@@ -39,12 +39,15 @@ def plane_component(dialect: str, t: str, j: str, d: str, seed: int) -> str:
     return f"(((({t} * 7919 + {j}) * 10007 + {d} * 379 + {seed}) % 2001) - 1000) / 1000.0"
 
 
-def sig_expr_spark(t_var: str, n_planes: int, seed: int, emb: str = "embedding") -> str:
-    """Spark SQL: n_planes-bit hyperplane signature of `emb` for table
-    index `t_var` (a column or literal). Left-fold accumulation."""
+def sig_expr_spark(
+    t_var: str, n_planes: int | str, seed: int, emb: str = "embedding"
+) -> str:
+    """Spark SQL: hyperplane signature of `emb` for table index `t_var`
+    (a column or literal). `n_planes` may be an int or a SQL expression
+    (adaptive plane counts). Left-fold accumulation."""
     comp = plane_component("spark", t_var, "j", "d", seed)
     return f"""aggregate(
-        sequence(0, {n_planes - 1}),
+        sequence(0, ({n_planes}) - 1),
         cast(0 as bigint),
         (acc, j) -> acc * 2 + if(
             aggregate(
@@ -54,11 +57,13 @@ def sig_expr_spark(t_var: str, n_planes: int, seed: int, emb: str = "embedding")
                 0d, (a, x) -> a + x) >= 0, 1, 0))"""
 
 
-def sig_expr_duckdb(t_var: str, n_planes: int, seed: int, emb: str = "embedding") -> str:
+def sig_expr_duckdb(
+    t_var: str, n_planes: int | str, seed: int, emb: str = "embedding"
+) -> str:
     """DuckDB twin of `sig_expr_spark` — list_reduce is a left fold and
     the first-element init equals Spark's 0d init exactly (0 + x0 == x0)."""
     comp = plane_component("duckdb", t_var, "j", "d", seed)
-    return f"""list_reduce(list_transform(range(0, {n_planes}), j ->
+    return f"""list_reduce(list_transform(range(0, CAST(({n_planes}) AS bigint)), j ->
         CASE WHEN list_reduce(
                  list_transform(range(0, len({emb})),
                                 d -> CAST({emb}[d + 1] AS double) * {comp}),
@@ -67,28 +72,55 @@ def sig_expr_duckdb(t_var: str, n_planes: int, seed: int, emb: str = "embedding"
         (a, b) -> a * 2 + b)"""
 
 
+# Adaptive plane count: planes ~ log2(n / target-bucket) keeps expected
+# bucket sizes flat as the corpus grows, bounded to [6, 12]. The LOWER
+# bound preserves the documented recall at small n; the UPPER bound keeps
+# per-table recall workable with the fixed table count (at cosine 0.95,
+# 12 planes x 12 tables still give ~0.98 pair recall) - beyond ~10^6
+# vectors the honest scale path is more tables / multi-probe / IVF, not
+# more planes (documented in the module docstring).
+PLANES_MIN, PLANES_MAX, TARGET_BUCKET = 6, 12, 8
+
+
+def adaptive_planes_expr(count_expr: str) -> str:
+    """SQL (both dialects): bounded log2 plane count from a corpus-count
+    expression. log2 of exact powers of two is exact in IEEE, so ceil
+    agrees across engines."""
+    return (
+        f"greatest({PLANES_MIN}, least({PLANES_MAX},"
+        f" cast(ceil(log2(greatest({count_expr}, 2) / {TARGET_BUCKET}.0)) as int)))"
+    )
+
+
 def table_buckets(
     embeddings: DataFrame,
     n_tables: int = ANN_N_TABLES,
-    n_planes: int = ANN_N_PLANES,
+    n_planes: int | None = ANN_N_PLANES,
     seed: int = HYPERPLANE_SEED,
 ) -> DataFrame:
     """(vec_id, tbl, bucket) for all T tables in ONE pass over the corpus:
     the T signatures are computed in a single projection (an array built
     by `transform` over the table index) and posexploded — one scan, no
-    per-table re-read, no broadcast."""
+    per-table re-read, no broadcast.
+
+    ``n_planes=None`` → adaptive: planes from the corpus count (a
+    single-row aggregate collected to the driver — a scalar, never data;
+    the oracle computes the identical count via a scalar subquery)."""
+    if n_planes is None:
+        cnt = embeddings.count()
+        planes = adaptive_planes_expr(str(cnt))
+    else:
+        planes = str(n_planes)
     sigs = F.expr(
-        f"transform(sequence(0, {n_tables - 1}), t -> {sig_expr_spark('t', n_planes, seed)})"
+        f"transform(sequence(0, {n_tables - 1}), t -> {sig_expr_spark('t', planes, seed)})"
     )
-    return embeddings.select(
-        "vec_id", F.posexplode(sigs).alias("tbl", "bucket")
-    )
+    return embeddings.select("vec_id", F.posexplode(sigs).alias("tbl", "bucket"))
 
 
 def lsh_candidates(
     embeddings: DataFrame,
     n_tables: int = ANN_N_TABLES,
-    n_planes: int = ANN_N_PLANES,
+    n_planes: int | None = ANN_N_PLANES,
     seed: int = HYPERPLANE_SEED,
 ) -> DataFrame:
     """Distinct (vec_id1 < vec_id2) pairs sharing a bucket in ≥1 table.

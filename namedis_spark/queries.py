@@ -2044,13 +2044,24 @@ def ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=_ANN_K)
 
 
-def _hyperplane_sigs_cte(n_tables: int, n_planes: int) -> str:
+def _hyperplane_sigs_cte(n_tables: int, n_planes: int | None) -> str:
     """DuckDB CTE: (vec_id, tbl, bucket) for all T hyperplane tables —
     bit-identical to operators.similarity.table_buckets (same integer
-    plane arithmetic, same left-fold accumulation; parity verified)."""
-    from namedis_spark.operators.similarity import HYPERPLANE_SEED, sig_expr_duckdb
+    plane arithmetic, same left-fold accumulation; parity verified).
+    ``n_planes=None`` → adaptive count via a scalar subquery, mirroring
+    the Spark side's driver-side corpus count."""
+    from namedis_spark.operators.similarity import (
+        HYPERPLANE_SEED,
+        adaptive_planes_expr,
+        sig_expr_duckdb,
+    )
 
-    sig = sig_expr_duckdb("ts.t", n_planes, HYPERPLANE_SEED)
+    planes = (
+        adaptive_planes_expr("(SELECT count(*) FROM embeddings)")
+        if n_planes is None
+        else n_planes
+    )
+    sig = sig_expr_duckdb("ts.t", planes, HYPERPLANE_SEED)
     return f"""
         sigs AS (
             SELECT vec_id, ts.t AS tbl, {sig} AS bucket
@@ -2078,10 +2089,10 @@ _DUCK_PAIR_COSINE = """
 
 
 def _embedding_dups_oracle(threshold: float = 0.95) -> str:
-    from namedis_spark.operators.similarity import ANN_N_PLANES, ANN_N_TABLES
+    from namedis_spark.operators.similarity import ANN_N_TABLES
 
     return f"""
-    WITH {_hyperplane_sigs_cte(ANN_N_TABLES, ANN_N_PLANES)},
+    WITH {_hyperplane_sigs_cte(ANN_N_TABLES, None)},
     cand AS (
         SELECT DISTINCT s1.vec_id AS vec_id1, s2.vec_id AS vec_id2
         FROM sigs s1 JOIN sigs s2
