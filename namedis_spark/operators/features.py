@@ -27,6 +27,26 @@ from pyspark.sql import DataFrame
 
 from namedis_spark.functions.sqlexpr import content_terms_expr, norm_name_expr
 
+import pyspark.sql.types as T
+
+# Output schema of conversation_features — pinned for streaming readers
+# (schema inference is unavailable on readStream sources).
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("block_key", T.StringType()),
+        T.StructField("focus_name", T.StringType()),
+        T.StructField("focus_raw", T.StringType()),
+        T.StructField("coauthors", T.ArrayType(T.StringType())),
+        T.StructField("venue", T.StringType()),
+        T.StructField("tool_freq", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField("term_freq", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField("year_from", T.IntegerType()),
+        T.StructField("year_to", T.IntegerType()),
+        T.StructField("n_turns", T.LongType()),
+    ]
+)
+
 
 def conversation_features(transcripts: DataFrame) -> DataFrame:
     t = transcripts

@@ -1,0 +1,163 @@
+"""Streaming incremental entity linkage — custom stateful operator.
+
+The batch pipeline resolves a whole corpus; a production corpus is
+APPENDED to, and re-running transitive closure over 10^12 turns per drop
+is wasteful. This module links NEW conversations incrementally:
+
+* ``start_incremental_linkage`` — a Structured-Streaming stateful
+  operator (``applyInPandasWithState``) keyed on the blocking key. The
+  per-block state holds the running cluster representatives (cluster id →
+  coauthor evidence set, capped); each arriving conversation joins the
+  first cluster sharing ≥2 coauthors (the streaming analog of stage-1
+  ``mergeSharingCoauthor``, NLPUtil.pm:3904-3941) or founds a new one.
+  State rides the streaming checkpoint, so linkage is continuous across
+  micro-batches and restarts. Arrival order inside a micro-batch is
+  canonicalized (sort by conv_id) so replays are deterministic.
+
+  Scale shape: state is per BLOCK (bounded by the entity count of one
+  ambiguous name, not the corpus), the operator shuffles once on the
+  block key, and the evidence sets are capped — the same bounded-state
+  discipline the batch scorer's broadcast pruning applies. Incremental
+  assignment trades the batch pipeline's global transitive closure for
+  per-block greedy attachment: conversations never re-cluster, so a
+  periodic batch reconciliation run remains the source of truth (this is
+  the standard lambda shape for streaming ER).
+
+* ``block_arrival_counts`` — watermarked event-time window aggregation
+  of arriving turns per block (late data beyond the watermark dropped):
+  the built-in-operator path for streaming monitoring tables.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from namedis_spark.functions.sqlexpr import norm_name_expr
+
+MIN_SHARED = 2  # mergeSharingCoauthor >= 2 shared coauthors
+MAX_REP_COAUTHORS = 64  # cap per-cluster evidence set (bounded state)
+MAX_CLUSTERS_PER_BLOCK = 4096  # state bound: beyond this, new convs found
+# singleton clusters without growing the representative table further
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("block_key", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("cluster_id", T.StringType()),
+        T.StructField("n_shared", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("clusters_json", T.StringType())])
+
+
+def _assign_block(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-block assignment (runs inside the streaming worker)."""
+    if state.exists:
+        clusters: dict[str, list[str]] = json.loads(state.get[0])
+    else:
+        clusters = {}
+
+    rows = []
+    # the runtime may deliver a group as SEVERAL Arrow chunks — canonical
+    # arrival order needs one sort over the whole micro-batch group
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    if len(whole):
+        for _, r in whole.sort_values("conv_id").iterrows():
+            raw = r["coauthors"]  # numpy array via Arrow — no truthiness
+            co = set() if raw is None else set(raw)
+            best_id, best_shared = None, 0
+            for cid, rep in clusters.items():
+                shared = len(co.intersection(rep))
+                if shared >= MIN_SHARED and (
+                    shared > best_shared
+                    or (shared == best_shared and (best_id is None or cid < best_id))
+                ):
+                    best_id, best_shared = cid, shared
+            if best_id is None:
+                best_id, best_shared = r["conv_id"], 0
+                if len(clusters) < MAX_CLUSTERS_PER_BLOCK:
+                    clusters[best_id] = sorted(co)[:MAX_REP_COAUTHORS]
+            else:
+                rep = set(clusters[best_id]) | co
+                clusters[best_id] = sorted(rep)[:MAX_REP_COAUTHORS]
+            rows.append((key[0], r["conv_id"], best_id, best_shared))
+
+    state.update((json.dumps(clusters, sort_keys=True),))
+    yield pd.DataFrame(rows, columns=["block_key", "conv_id", "cluster_id", "n_shared"])
+
+
+def incremental_assignments(feature_stream: DataFrame) -> DataFrame:
+    """Apply the stateful per-block linkage to a streaming feature table
+    (rows shaped like operators.features.conversation_features output)."""
+    return (
+        feature_stream.select("block_key", "conv_id", "coauthors")
+        .groupBy("block_key")
+        .applyInPandasWithState(
+            _assign_block,
+            outputStructType=ASSIGN_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def start_incremental_linkage(
+    spark: SparkSession,
+    feature_source: str,
+    sink: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream feature-table drops → stateful per-block assignment →
+    append-only assignment parquet. Exactly-once via the streaming
+    checkpoint (state + source offsets committed together)."""
+    from namedis_spark.operators.features import FEATURE_SCHEMA
+
+    stream = (
+        spark.readStream.schema(FEATURE_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(feature_source)
+    )
+    out = incremental_assignments(stream)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def block_arrival_counts(
+    turn_stream: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked windowed arrival counts per blocking key: turns later
+    than the watermark are dropped, closed windows become immutable rows
+    (the streaming monitoring-table pattern)."""
+    return (
+        turn_stream.withColumn("block_key", F.expr(norm_name_expr("role", "spark")))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "block_key")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "block_key",
+            "n_turns",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Streaming incremental linkage: stateful per-block assignment continues
+across micro-batches (state rides the checkpoint), and the watermarked
+window aggregation produces immutable per-window counts."""
+
+from __future__ import annotations
+
+from namedis_spark.datagen import generate_transcripts
+from namedis_spark.operators.features import conversation_features
+
+
+def test_incremental_linkage_state_spans_batches(spark, tmp_path):
+    from namedis_spark.streaming.linkage import start_incremental_linkage
+
+    t, l = generate_transcripts(spark, n_blocks=3, seed=7, hot_blocks=0)
+    feats = conversation_features(t).cache()
+    src = str(tmp_path / "featdrops")
+    sink = str(tmp_path / "assign")
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop 1: first conversation of every entity; drop 2: the rest —
+    # the drop-2 conversations must JOIN clusters founded in drop 1
+    first = feats.selectExpr(
+        "conv_id", "substring(conv_id, 1, 11) AS ent", "conv_id LIKE '%-0000' AS is_first"
+    )
+    # one file per drop = one micro-batch per drop, so the pure fold twin
+    # below can replay the exact arrival order
+    d1 = feats.join(first.where("is_first").select("conv_id"), "conv_id").coalesce(1)
+    d2 = feats.join(first.where("NOT is_first").select("conv_id"), "conv_id").coalesce(1)
+    d1.write.mode("append").parquet(src)
+    q = start_incremental_linkage(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_incremental_linkage(spark, src, sink, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    assert got.count() == feats.count()
+    rows = {r["conv_id"]: r for r in got.collect()}
+    truth = {r["conv_id"]: r["entity_id"] for r in l.collect()}
+
+    # ---- mechanism equivalence: the stream must match a pure fold twin
+    # replaying the same arrival order (drop 1 sorted, then drop 2 sorted,
+    # per block) — proves determinism AND that state crossed the restart
+    from collections import defaultdict
+
+    from namedis_spark.streaming.linkage import (
+        MAX_REP_COAUTHORS,
+        MIN_SHARED,
+    )
+
+    def twin(batches):
+        clusters_by_block: dict[str, dict[str, list]] = defaultdict(dict)
+        out = {}
+        for batch in batches:
+            per_block = defaultdict(list)
+            for r in batch:
+                per_block[r["block_key"]].append(r)
+            for bk, rs in per_block.items():
+                clusters = clusters_by_block[bk]
+                for r in sorted(rs, key=lambda x: x["conv_id"]):
+                    co = set(r["coauthors"] or [])
+                    best_id, best_shared = None, 0
+                    for cid, rep in clusters.items():
+                        shared = len(co.intersection(rep))
+                        if shared >= MIN_SHARED and (
+                            shared > best_shared
+                            or (shared == best_shared
+                                and (best_id is None or cid < best_id))
+                        ):
+                            best_id, best_shared = cid, shared
+                    if best_id is None:
+                        best_id, best_shared = r["conv_id"], 0
+                        clusters[best_id] = sorted(co)[:MAX_REP_COAUTHORS]
+                    else:
+                        clusters[best_id] = sorted(set(clusters[best_id]) | co)[
+                            :MAX_REP_COAUTHORS
+                        ]
+                    out[r["conv_id"]] = (best_id, best_shared)
+        return out
+
+    want = twin([d1.collect(), d2.collect()])
+    assert len(want) == len(rows)
+    for cid, (exp_cluster, exp_shared) in want.items():
+        assert rows[cid]["cluster_id"] == exp_cluster, cid
+        assert rows[cid]["n_shared"] == exp_shared, cid
+
+    # precision: clusters never span entities (collaborator suffixes are
+    # entity-unique in the fixture, so >=2 shared implies same entity)
+    by_cluster = defaultdict(set)
+    for cid, r in rows.items():
+        by_cluster[r["cluster_id"]].add(truth[cid])
+    assert all(len(v) == 1 for v in by_cluster.values())
+    # state continuity: at least some drop-2 conversations attached to
+    # drop-1 clusters (n_shared >= 2 against state built before restart)
+    d1_ids = {r["conv_id"] for r in d1.select("conv_id").collect()}
+    attached = [
+        r for cid, r in rows.items()
+        if cid not in d1_ids and r["cluster_id"] in d1_ids
+    ]
+    assert attached, "no cross-batch attachment happened"
+
+
+def test_block_arrival_counts_watermarked(spark, tmp_path):
+    from namedis_spark.streaming.linkage import block_arrival_counts
+
+    t, _ = generate_transcripts(spark, n_blocks=2, seed=5, hot_blocks=0)
+    src = str(tmp_path / "turns")
+    t.write.parquet(src)
+
+    from namedis_spark.datagen import TRANSCRIPT_SCHEMA
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    agg = block_arrival_counts(stream, window="30 days", watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("arrivals")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM arrivals")
+    assert got.count() > 0
+    # totals per block match the batch count
+    import pyspark.sql.functions as F
+
+    from namedis_spark.functions.sqlexpr import norm_name_expr
+
+    want = (
+        t.withColumn("bk", F.expr(norm_name_expr("role", "spark")))
+        .groupBy("bk").count()
+    )
+    g = {r["block_key"]: 0 for r in got.collect()}
+    for r in got.collect():
+        g[r["block_key"]] += r["n_turns"]
+    w = {r["bk"]: r["count"] for r in want.collect()}
+    assert g == w
