@@ -127,3 +127,179 @@ def remove_overlap_terms(
             counted[concept] = True
 
     return [t for t in shared_terms if counted.get(t[0])]
+
+
+# ---------------------------------------------------------------------------
+# Full combined cluster similarity (calcConceptVectorSimi,
+# ConceptNet.pm:5815-6150) — taxonomy mode, every channel and guard:
+# venue boost (CSLR with/without expansion, max), shared-term sum with
+# exact-lemma override + year discounts, best cross-term LCS with the
+# generalization discount and corpus-frequency gate, token-overlap dedup,
+# single-shared-term veto, empty-vector prior, similarity floor, ICSum
+# evidence gate, final (sharedSum + maxDiff) × venueBoost × coauthorBoost.
+# Pure Python: runs per candidate pair inside a scoring pandas UDF over
+# top-N-pruned cluster vectors (≤100 dims, ConceptNet.pm:69-71).
+# ---------------------------------------------------------------------------
+
+MIN_SAME_VENUE_MN_ODDS_RATIO = 0.1  # ConceptNet.pm:5813
+GENERALIZATION_DISCOUNT_PER_STEP = 0.7  # ConceptNet.pm:73
+MAX_EMPTY_CONCEPT_VEC_SIMI_PRIOR = 0.5  # ConceptNet.pm:5804
+MAX_AMBIGUITY_OF_SHARED_SINGLE_CONCEPT = 0.5  # ConceptNet.pm:5799
+BOOST_SHARE_TERM_CHANCE_FROM_RANDOMNESS = 3.0  # ConceptNet.pm:5806
+
+
+def calc_concept_vector_simi(
+    cv1: dict,
+    cv2: dict,
+    vv1: dict,
+    vv2: dict,
+    *,
+    ics: dict,
+    freqs: dict,
+    mc: float,
+    ambig: float,
+    closeness_fn=None,
+    venue_expander=None,
+    coauthor_boost: float = 1.0,
+    empty_prior: float = MAX_EMPTY_CONCEPT_VEC_SIMI_PRIOR,
+    ic_offset: float = IC_OFFSET,
+    use_lower_bound: bool = True,
+) -> dict:
+    """Combined cluster similarity over reference-shaped per-cluster
+    concept vectors (cv[c] = {"w", "f", "t", "lemmas", "tokens"}) and
+    venue vectors (venue → freq).
+
+    ``closeness_fn(c1, c2) → (lcs_simi, attenuation, lcs, least_depth)``
+    supplies calcTermCloseness over the taxonomy DAG (see
+    operators.taxonomy.lcs_closeness for the distributed twin); None
+    disables the cross-term channel. Returns the full diagnostic tuple
+    the reference carries (simi, ICSum, ICSumThres, venue boost,
+    shared-term sum, best diff-term, surviving shared terms)."""
+    import math
+
+    from namedis_spark.functions.core import (
+        cslr_v2,
+        term_freq_thres_by_ambig,
+        year_diff_discount,
+        year_range_diff,
+    )
+
+    empty_prior = min(empty_prior, MAX_EMPTY_CONCEPT_VEC_SIMI_PRIOR)
+    freq_sum_thres = (
+        mc * MAX_AMBIGUITY_OF_SHARED_SINGLE_CONCEPT
+        / (ambig * BOOST_SHARE_TERM_CHANCE_FROM_RANDOMNESS)
+    )
+    ic_sum_thres = math.log(ambig)  # + log(MAX_AMBIG_SHARED)=log(1)=0
+
+    # venue boost: CSLR with expansion vs without, take the larger
+    # (ConceptNet.pm:5888-5907)
+    _, vb1 = cslr_v2(
+        dict(vv1), dict(vv2),
+        outcome_expander=venue_expander,
+        min_odds=MIN_SAME_VENUE_MN_ODDS_RATIO, max_counted_freq=4,
+    )
+    _, vb2 = cslr_v2(
+        dict(vv1), dict(vv2),
+        min_odds=MIN_SAME_VENUE_MN_ODDS_RATIO, max_counted_freq=4,
+    )
+    venue_boost = max(vb1, vb2)
+
+    def ydisc(h1: dict, h2: dict) -> tuple[float, float]:
+        yd = year_range_diff(
+            h1.get("f", 0), h1.get("t", 0), h2.get("f", 0), h2.get("t", 0)
+        )
+        return yd, year_diff_discount(yd)
+
+    fthres = min(
+        term_freq_thres_by_ambig(
+            [freqs[c] for c in cv1 if c in freqs], freq_sum_thres
+        ),
+        term_freq_thres_by_ambig(
+            [freqs[c] for c in cv2 if c in freqs], freq_sum_thres
+        ),
+    )
+    freq_sum_thres = _trunc(2, freq_sum_thres)
+
+    # ---- shared-concept channel (:5946-5988) --------------------------
+    shared_terms: list[tuple] = []
+    shared_set: set = set()
+    for c, h1 in cv1.items():
+        h2 = cv2.get(c)
+        if h2 is None or not ics.get(c):
+            continue
+        yd, d = ydisc(h1, h2)
+        simi = shared_term_simi(
+            ics[c], h1.get("w", 0.0), h2.get("w", 0.0),
+            h1.get("lemmas"), h2.get("lemmas"),
+            year_discount=d, ic_offset=ic_offset,
+        )
+        shared_terms.append((c, simi, yd, ics[c] * d))
+        shared_set.add(c)
+
+    # ---- best cross-term LCS channel (:5990-6035) ---------------------
+    max_diff = 0.0
+    diff_ic = 0.0
+    closest = None
+    if closeness_fn is not None:
+        for c1, h1 in cv1.items():
+            for c2, h2 in cv2.items():
+                if c1 == c2 or c1 in shared_set or c2 in shared_set:
+                    continue
+                res = closeness_fn(c1, c2)
+                if not res:
+                    continue
+                lcs_simi, atten, lcs, least_depth = res
+                if not lcs_simi or lcs in shared_set:
+                    continue
+                _, d = ydisc(h1, h2)
+                ic_discount = (
+                    GENERALIZATION_DISCOUNT_PER_STEP**least_depth * d
+                    if least_depth is not None
+                    else d
+                )
+                diff = (
+                    lcs_simi * atten * h1.get("w", 0.0) * h2.get("w", 0.0)
+                    * ic_discount
+                )
+                if diff > max_diff and freqs.get(lcs, 0.0) <= freq_sum_thres:
+                    max_diff = diff
+                    diff_ic = ics.get(lcs, 0.0) * ic_discount
+                    closest = (lcs, lcs_simi, atten, least_depth, c1, c2)
+
+    # ---- priors / dedup / veto / sums (:6038-6089) --------------------
+    if not cv1 or not cv2:
+        maxsimi = empty_prior
+        ic_sum = ic_sum_thres  # gate auto-passes
+        shared_sum = 0.0
+    else:
+        shared_terms = remove_overlap_terms(shared_terms, cv1, cv2)
+        vetoed = False
+        if len(shared_terms) == 1:
+            c = shared_terms[0][0]
+            if freqs.get(c, 0.0) > fthres:
+                vetoed = True
+        if vetoed:
+            shared_sum = 0.0
+            ic_sum = 0.0
+        else:
+            shared_sum = sum(t[1] for t in shared_terms)
+            ic_sum = sum(t[3] for t in shared_terms)
+        maxsimi = max_diff + shared_sum
+        if diff_ic:
+            ic_sum += diff_ic
+        if use_lower_bound and 0.0 < maxsimi < empty_prior:
+            maxsimi = empty_prior
+
+    simi = maxsimi * venue_boost * coauthor_boost
+    return {
+        "simi": simi,
+        "ic_sum": ic_sum,
+        "ic_sum_thres": ic_sum_thres,
+        "gate_passed": ic_sum >= ic_sum_thres,
+        "venue_boost": venue_boost,
+        "coauthor_boost": coauthor_boost,
+        "shared_sum": shared_sum,
+        "max_diff": max_diff,
+        "shared_terms": shared_terms,
+        "closest": closest,
+    }

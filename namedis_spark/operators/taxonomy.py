@@ -428,3 +428,28 @@ def synthetic_dag(term_freqs: DataFrame) -> DataFrame:
     )
     edges = vocab_edges(term_freqs).unionByName(upper)
     return apply_exclusions(edges, EXCLUDED_TERMS, EXCLUDED_EDGES)
+
+
+def closeness_fn_from_df(closeness_df: DataFrame):
+    """Adapter: materialize an ``lcs_closeness`` result into the
+    ``closeness_fn(c1, c2) → (lcs_simi, attenuation, lcs, least_depth)``
+    callback ``functions.conceptsimi.calc_concept_vector_simi`` consumes
+    (calcTermCloseness, ConceptNet.pm:5630-5655). The gated pair table is
+    small by construction (only depth-sum ≤ 3 pairs survive), so the dict
+    broadcasts like the reference's ancestor caches."""
+    table = {
+        (r["term1"], r["term2"]): (
+            float(r["closeness"]),
+            float(r["attenuation"]),
+            r["lcs"],
+            int(r["depth_sum"]),
+        )
+        for r in closeness_df.collect()
+    }
+
+    def fn(c1, c2):
+        if c1 > c2:
+            c1, c2 = c2, c1
+        return table.get((c1, c2))
+
+    return fn

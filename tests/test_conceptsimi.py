@@ -93,3 +93,98 @@ def test_remove_overlap_terms_equal_ic_higher_simi_wins():
     shared = [("b", 2.0, 0, 5.0), ("a", 1.0, 0, 5.0)]
     out = remove_overlap_terms(shared, cv1, cv2)
     assert [t[0] for t in out] == ["b"]
+
+
+def _h(w, f=2019, t=2020, lemmas=None, tokens=None):
+    return {"w": w, "f": f, "t": t, "lemmas": lemmas or [], "tokens": tokens or []}
+
+
+BASE = dict(
+    ics={"svm": 6.0, "nn": 5.5, "ml": 4.5, "ai": 4.0},
+    freqs={"svm": 40.0, "nn": 60.0, "ml": 400.0, "ai": 900.0},
+    mc=10000.0,
+    ambig=10.0,
+)
+
+
+def test_combined_simi_shared_channel_golden():
+    from namedis_spark.functions.conceptsimi import calc_concept_vector_simi
+
+    cv1 = {"svm": _h(0.9, tokens=[(0, [0, 1])])}
+    cv2 = {"svm": _h(0.8, tokens=[(1, [2, 3])])}
+    r = calc_concept_vector_simi(cv1, cv2, {"icml": 2}, {"icml": 1}, **BASE)
+    # shared term: (6.0-3.5) * 3*0.9*0.8 * ydisc(1.0) = 2.5*2.16 = 5.4
+    assert r["shared_sum"] == pytest.approx(5.4, abs=1e-4)
+    assert r["ic_sum"] == pytest.approx(6.0)
+    # gate: ICSum 6.0 >= ln(10) = 2.303
+    assert r["gate_passed"]
+    # final = sharedSum * venueBoost (venue vectors overlap → boost > 0)
+    assert r["simi"] == pytest.approx(5.4 * r["venue_boost"], abs=1e-4)
+
+
+def test_combined_simi_cross_term_lcs_channel():
+    from namedis_spark.functions.conceptsimi import calc_concept_vector_simi
+
+    # no shared concepts; svm~nn meet at 'ml' (depth sum 2)
+    def closeness(c1, c2):
+        if {c1, c2} == {"svm", "nn"}:
+            return (1.0, 1.0, "ml", 2)  # ic(ml)-offset = 1.0
+        return None
+
+    cv1 = {"svm": _h(0.9)}
+    cv2 = {"nn": _h(0.8)}
+    r = calc_concept_vector_simi(
+        cv1, cv2, {"v": 1}, {"v": 1}, closeness_fn=closeness, **BASE
+    )
+    # diff = 1.0 * 1.0 * 0.9*0.8 * 0.7^2 = 0.3528; freq(ml)=400 > freqSumThres
+    # = trunc2(10000*0.5/(10*3)) = 166.66 → GATED OUT → falls to the floor
+    assert r["max_diff"] == 0.0
+    assert r["shared_sum"] == 0.0
+
+    # with a rarer lcs the channel engages
+    b2 = dict(BASE)
+    b2["freqs"] = dict(BASE["freqs"], ml=100.0)
+    r = calc_concept_vector_simi(
+        cv1, cv2, {"v": 1}, {"v": 1}, closeness_fn=closeness,
+        use_lower_bound=False, **b2
+    )
+    assert r["max_diff"] == pytest.approx(1.0 * 0.9 * 0.8 * 0.49, abs=1e-6)
+    assert r["ic_sum"] == pytest.approx(4.5 * 0.49, abs=1e-6)  # ics[ml]*disc
+
+
+def test_combined_simi_single_term_veto_and_empty_prior():
+    from namedis_spark.functions.conceptsimi import calc_concept_vector_simi
+
+    # only shared concept is corpus-frequent 'ai' (900) → vetoed
+    cv1 = {"ai": _h(0.9)}
+    cv2 = {"ai": _h(0.8)}
+    r = calc_concept_vector_simi(cv1, cv2, {"v": 1}, {"v": 1}, **BASE)
+    assert r["shared_sum"] == 0.0 and r["ic_sum"] == 0.0
+    assert not r["gate_passed"]
+
+    # empty vector → prior, gate bypassed
+    r = calc_concept_vector_simi({}, cv2, {"v": 1}, {"v": 1}, **BASE)
+    assert r["simi"] == pytest.approx(0.5 * r["venue_boost"], abs=1e-6)
+    assert r["gate_passed"]
+
+
+def test_combined_simi_lower_bound_and_overlap_dedup():
+    from namedis_spark.functions.conceptsimi import calc_concept_vector_simi
+
+    # two shared concepts on the SAME token span: only the higher-IC one
+    # survives the dedup; weights chosen so the surviving sum is tiny →
+    # the similarity floor raises maxsimi to the prior
+    cv1 = {
+        "svm": _h(0.1, tokens=[(0, [0, 1, 2])]),
+        "nn": _h(0.1, tokens=[(0, [1, 2])]),
+    }
+    cv2 = {
+        "svm": _h(0.1, tokens=[(5, [0, 1, 2])]),
+        "nn": _h(0.1, tokens=[(5, [1, 2])]),
+    }
+    r = calc_concept_vector_simi(cv1, cv2, {"v": 1}, {"v": 1}, **BASE)
+    survivors = [t[0] for t in r["shared_terms"]]
+    assert survivors == ["svm"]  # nn's span stolen (lower IC)
+    # sharedSum = (6-3.5)*3*0.01 = 0.075 < prior 0.5 → floored
+    assert r["shared_sum"] == pytest.approx(0.075, abs=1e-4)
+    assert r["simi"] == pytest.approx(0.5 * r["venue_boost"], abs=1e-6)

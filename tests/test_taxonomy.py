@@ -160,3 +160,42 @@ def test_synthetic_dag_has_multi_level_lcs_pairs(spark):
     assert 2 in depth_sums and 3 in depth_sums, depth_sums
     lcs_levels = {r["lcs"][:3] for r in rows}
     assert "mid" in lcs_levels and "cat" in lcs_levels
+
+
+def test_closeness_fn_feeds_combined_similarity(spark, dag):
+    """End-to-end: the DAG closeness table plugs into the full combined
+    similarity as the cross-term channel."""
+    from namedis_spark.functions.conceptsimi import calc_concept_vector_simi
+    from namedis_spark.operators.taxonomy import (
+        ancestor_closure,
+        closeness_fn_from_df,
+        lcs_closeness,
+        term_ic_dag,
+        with_attenuation,
+    )
+
+    tf = spark.createDataFrame(
+        [("leaf_a", 8), ("leaf_b", 4), ("leaf_c", 2)], "term string, freq long"
+    )
+    att = with_attenuation(ancestor_closure(dag))
+    # toy-DAG ICs are small, so disable the IC offset for the closeness
+    # channel (the offset is corpus-scale calibration, clust.pl:277)
+    fn = closeness_fn_from_df(lcs_closeness(tf, att, ic_offset=0.0))
+    ics = {r["term"]: r["ic"] for r in term_ic_dag(tf, att).collect()}
+    freqs = {r["term"]: r["freq"] for r in term_ic_dag(tf, att).collect()}
+
+    got = fn("leaf_a", "leaf_c")
+    assert got is not None and got[2] == "m1" and got[3] == 2
+    assert fn("leaf_c", "leaf_a") == got  # order-insensitive
+
+    r = calc_concept_vector_simi(
+        {"leaf_a": {"w": 0.9, "f": 2019, "t": 2020}},
+        {"leaf_c": {"w": 0.8, "f": 2019, "t": 2020}},
+        {"v": 1}, {"v": 1},
+        # ambig 0.2 → freqSumThres = 14·0.5/0.6 ≈ 11.67 admits m1 (7.33)
+        ics=ics, freqs=freqs, mc=14.0, ambig=0.2,
+        closeness_fn=fn, use_lower_bound=False,
+    )
+    # cross-term channel engaged via the DAG LCS (m1 rare enough)
+    assert r["max_diff"] > 0
+    assert r["closest"][0] == "m1"
