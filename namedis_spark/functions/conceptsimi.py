@@ -303,3 +303,135 @@ def calc_concept_vector_simi(
         "shared_terms": shared_terms,
         "closest": closest,
     }
+
+
+# ---------------------------------------------------------------------------
+# Per-pair LCS + nearby-term merging (compactConceptVector /
+# mergeNearbyTerms, ConceptNet.pm:5657-5694, 3365-3465): concepts matched
+# on overlapping snippets collapse onto their close common subsumer before
+# cluster vectors are compared. Pure Python over per-term ancestor dicts
+# (term → {ancestor: (depth, atten)}) — the broadcastable slice of the
+# distributed closure (operators.taxonomy.ancestors_map_from_df).
+# ---------------------------------------------------------------------------
+
+MIN_ANCESTOR_DEPTH = 2  # ConceptNet.pm:19
+
+
+def weight_ratio(a: float, b: float) -> float:
+    """min/max ratio, 0 for non-positives (NLPUtil.pm:1079)."""
+    if a <= 0 or b <= 0:
+        return 0.0
+    return min(a, b) / max(a, b)
+
+
+def least_common_subsumer(
+    anc1: dict, anc2: dict, max_depth_sum: int | None = None
+):
+    """leastCommonSubsumer (ConceptNet.pm:3283-3361) over two ancestor
+    dicts {ancestor: (depth, atten)}: the common ancestor minimizing the
+    depth sum, ties broken by the attenuated depth sum (depth/atten, i.e.
+    recAttenuateByBatch-weighted) then lexically (determinism the
+    reference's hash-order loop lacks). Returns
+    (lcs, depth_sum, atten_product, d1, d2) or None."""
+    best = None
+    for a, (d1, at1) in anc1.items():
+        o = anc2.get(a)
+        if o is None:
+            continue
+        d2, at2 = o
+        ds = d1 + d2
+        if max_depth_sum is not None and ds > max_depth_sum:
+            continue
+        ads = (d1 / at1 if at1 else float("inf")) + (
+            d2 / at2 if at2 else float("inf")
+        )
+        key = (ds, ads, a)
+        if best is None or key < best[0]:
+            best = (key, (a, ds, at1 * at2, d1, d2))
+    return best[1] if best else None
+
+
+def merge_nearby_terms(
+    weights: dict,
+    ancestors: dict,
+    rootdepth: dict,
+    max_nearby_depth_diff: int = 1,
+    min_ancestor_depth: int = MIN_ANCESTOR_DEPTH,
+) -> dict:
+    """mergeNearbyTerms (ConceptNet.pm:3365-3465): iteratively collapse
+    concept pairs whose LCS lies within the depth budget onto that LCS.
+
+    Round r admits pairs with depth-sum ≤ r whose weight ratio is at
+    least 1 − 1/r (tiny matches must not drag significant ones); terms or
+    subsumers shallower than ``min_ancestor_depth`` never merge (too
+    general). Weights accumulate on the subsumer across merges. Returns
+    {concept: (lcs, depth_from_concept)} for every merged concept.
+
+    Deterministic re-expression: the reference mutates its posting array
+    in visit order; this port processes candidate pairs in sorted order
+    each round, which fixes one canonical outcome of the same merge
+    relation."""
+    w = dict(weights)
+    alive = {c for c in w}
+    merge_map: dict = {}
+    for max_dd in range(1, max_nearby_depth_diff + 1):
+        least_ratio = 1.0 - 1.0 / max_dd
+        changed = True
+        while changed:
+            changed = False
+            for p1 in sorted(alive):
+                if rootdepth.get(p1, 0) < min_ancestor_depth:
+                    continue
+                for p2 in sorted(alive):
+                    if p2 == p1 or rootdepth.get(p2, 0) < min_ancestor_depth:
+                        continue
+                    if weight_ratio(w[p1], w[p2]) < least_ratio:
+                        continue
+                    res = least_common_subsumer(
+                        ancestors.get(p1, {}), ancestors.get(p2, {}),
+                        max_nearby_depth_diff,
+                    )
+                    if res is None:
+                        continue
+                    lcs, ds, _at, d1, d2 = res
+                    if ds > max_dd or rootdepth.get(lcs, 0) < min_ancestor_depth:
+                        continue
+                    if lcs != p1:
+                        merge_map[p1] = (lcs, d1)
+                    if lcs != p2:
+                        merge_map[p2] = (lcs, d2)
+                    w[lcs] = w[p1] + w[p2]
+                    alive.discard(p1)
+                    alive.discard(p2)
+                    alive.add(lcs)
+                    ancestors.setdefault(lcs, {lcs: (0, 1.0)})
+                    changed = True
+                    break
+                if changed:
+                    break
+    return merge_map
+
+
+def compact_concept_vector(cv: dict, merge_map: dict) -> dict:
+    """compactConceptVector (ConceptNet.pm:5657-5694): apply a merge map
+    to a full cluster vector — the subsumer entry accumulates weight,
+    widens its year range and concatenates token/lemma provenance, while
+    the original merged concepts are ALSO kept (the reference keeps both:
+    the subsumer carries the combined evidence, the specific concept its
+    own)."""
+    out: dict = {}
+    for c, h in cv.items():
+        target = merge_map.get(c, (c, 0))[0]
+        t = out.setdefault(
+            target, {"w": 0.0, "f": None, "t": None, "lemmas": [], "tokens": []}
+        )
+        t["w"] += h.get("w", 0.0)
+        for k, pick in (("f", min), ("t", max)):
+            v = h.get(k)
+            if v is not None:
+                t[k] = v if t[k] is None else pick(t[k], v)
+        t["lemmas"] = list(t["lemmas"]) + list(h.get("lemmas") or [])
+        t["tokens"] = list(t["tokens"]) + list(h.get("tokens") or [])
+        if target != c and c not in out:
+            out[c] = h
+    return out

@@ -453,3 +453,20 @@ def closeness_fn_from_df(closeness_df: DataFrame):
         return table.get((c1, c2))
 
     return fn
+
+
+def ancestors_map_from_df(closure_att: DataFrame) -> tuple[dict, dict]:
+    """(ancestors, rootdepth) broadcastable dicts from the attenuated
+    closure: term → {ancestor: (depth, atten)} and term → rootdepth —
+    the per-term ancestor lists of the reference (ancestorTree +
+    bfsDepth), sized by the taxonomy, not the corpus."""
+    anc: dict = {}
+    rd: dict = {}
+    for r in closure_att.collect():
+        anc.setdefault(r["term"], {})[r["ancestor"]] = (
+            int(r["depth"]),
+            float(r["atten"]),
+        )
+        if r["ancestor"] == ROOT:
+            rd[r["term"]] = int(r["depth"])
+    return anc, rd

@@ -188,3 +188,77 @@ def test_combined_simi_lower_bound_and_overlap_dedup():
     # sharedSum = (6-3.5)*3*0.01 = 0.075 < prior 0.5 → floored
     assert r["shared_sum"] == pytest.approx(0.075, abs=1e-4)
     assert r["simi"] == pytest.approx(0.5 * r["venue_boost"], abs=1e-6)
+
+
+def test_least_common_subsumer_ordering():
+    from namedis_spark.functions.conceptsimi import least_common_subsumer
+
+    anc1 = {"a": (0, 1.0), "m": (1, 1.0), "c": (2, 1.0)}
+    anc2 = {"b": (0, 1.0), "m": (1, 0.5), "c": (2, 1.0)}
+    # m wins on depth sum (2 < 4)
+    lcs, ds, at, d1, d2 = least_common_subsumer(anc1, anc2)
+    assert lcs == "m" and ds == 2 and at == 0.5 and (d1, d2) == (1, 1)
+    # gate excludes it → c (if within the gate)
+    assert least_common_subsumer(anc1, anc2, 1) is None
+    # attenuated tie-break: equal depth sums, less-attenuated path wins
+    a1 = {"x": (1, 1.0), "y": (1, 1.0)}
+    a2 = {"x": (1, 0.5), "y": (1, 1.0)}
+    assert least_common_subsumer(a1, a2)[0] == "y"
+
+
+def test_merge_nearby_terms_and_compact():
+    from namedis_spark.functions.conceptsimi import (
+        compact_concept_vector,
+        merge_nearby_terms,
+    )
+
+    # svm and kernelm are siblings under ml (depth 2 in the taxonomy);
+    # their LCS 'ml' has depth sum... svm→ml 1, kernelm→ml 1 → within round 1?
+    # round 1 admits depth-sum ≤ 1 only → no merge; svm/itself: a term whose
+    # direct parent is the other term merges at depth-sum 1.
+    ancestors = {
+        "svm": {"svm": (0, 1.0), "kernel": (1, 1.0), "ml": (2, 1.0)},
+        "kernel": {"kernel": (0, 1.0), "ml": (1, 1.0)},
+        "far": {"far": (0, 1.0)},
+    }
+    rootdepth = {"svm": 4, "kernel": 3, "ml": 2, "far": 4}
+    weights = {"svm": 0.6, "kernel": 0.5, "far": 0.2}
+    mm = merge_nearby_terms(weights, ancestors, rootdepth, max_nearby_depth_diff=1)
+    # svm merges INTO its parent 'kernel' (depth-sum 1); kernel == lcs so
+    # only svm appears in the map
+    assert mm == {"svm": ("kernel", 1)}
+
+    cv = {
+        "svm": {"w": 0.6, "f": 2019, "t": 2020, "lemmas": [["svm"]],
+                 "tokens": [(0, [1])]},
+        "kernel": {"w": 0.5, "f": 2018, "t": 2019, "lemmas": [["kernel"]],
+                    "tokens": [(1, [0])]},
+    }
+    out = compact_concept_vector(cv, mm)
+    assert out["kernel"]["w"] == pytest.approx(1.1)
+    assert out["kernel"]["f"] == 2018 and out["kernel"]["t"] == 2020
+    assert len(out["kernel"]["tokens"]) == 2
+    assert out["svm"] == cv["svm"]  # original kept alongside
+
+
+def test_merge_nearby_respects_weight_ratio_and_depth_floor():
+    from namedis_spark.functions.conceptsimi import merge_nearby_terms
+
+    ancestors = {
+        "svm": {"svm": (0, 1.0), "kernel": (1, 1.0)},
+        "kernel": {"kernel": (0, 1.0)},
+    }
+    rootdepth = {"svm": 4, "kernel": 3}
+    # round 2 requires ratio >= 1/2: 0.9 vs 0.1 fails → no merge
+    mm = merge_nearby_terms(
+        {"svm": 0.1, "kernel": 0.9}, dict(ancestors), rootdepth,
+        max_nearby_depth_diff=2,
+    )
+    # depth-sum 1 pairs merge in round 1 with NO ratio requirement
+    assert mm == {"svm": ("kernel", 1)}
+    # but a too-general subsumer (rootdepth < 2) never absorbs anything
+    mm = merge_nearby_terms(
+        {"svm": 0.5, "kernel": 0.5}, dict(ancestors), {"svm": 4, "kernel": 1},
+        max_nearby_depth_diff=1,
+    )
+    assert mm == {}
