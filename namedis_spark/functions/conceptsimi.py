@@ -435,3 +435,82 @@ def compact_concept_vector(cv: dict, merge_map: dict) -> dict:
         if target != c and c not in out:
             out[c] = h
     return out
+
+
+# ---------------------------------------------------------------------------
+# titleSetToVector (ConceptNet.pm:6154-6285): per-title concept matches →
+# one per-cluster concept vector + venue vector.
+# ---------------------------------------------------------------------------
+
+CONCEPT_VEC_TOP_N_TO_CLUST_SIZE_RATIO = 3  # ConceptNet.pm:69
+CONCEPT_VEC_LEAST_TOP_N = 20  # :70
+CONCEPT_VEC_MOST_TOP_N = 100  # :71
+
+
+def hash_top_n(d: dict, n: int, accessor) -> dict:
+    """hashTopN (NLPUtil.pm:2817-2838): keep the top-n entries by the
+    accessor, KEEPING TIES at the cutoff value."""
+    if len(d) <= n:
+        return dict(d)
+    vals = sorted((accessor(v) for v in d.values()), reverse=True)
+    cutoff = vals[n - 1]
+    return {k: v for k, v in d.items() if accessor(v) >= cutoff}
+
+
+def title_set_to_vector(
+    title_matches: list[dict],
+    venues: list[str | None],
+    years: list[int | None],
+    ancestors: dict | None = None,
+    rootdepth: dict | None = None,
+) -> tuple[dict, dict]:
+    """Aggregate per-title matches into the cluster (concept, venue)
+    vector pair (titleSetToVector, ConceptNet.pm:6154-6285).
+
+    ``title_matches[i]`` = {concept: (weight, token_indices, lemmas)} —
+    the ``match_title_full`` output for title i. Per concept: weights
+    summed, per-title token spans recorded as (title_sn, [token_sn]),
+    count and year range maintained; then w /= sqrt(c) · max(1, log S),
+    keep-ties top-N prune (N = clamp(3·S, 20, 100)), and — when ancestor
+    maps are supplied — compactConceptVector's nearby-term merge."""
+    import math
+
+    s_sz = len(title_matches)
+    cv: dict = {}
+    vv: dict = {}
+    for sn, (matches, venue, year) in enumerate(zip(title_matches, venues, years)):
+        vv[venue or "UNKNOWN"] = vv.get(venue or "UNKNOWN", 0) + 1
+        for concept, (w, tok_idx, lem) in (matches or {}).items():
+            h = cv.setdefault(
+                concept, {"w": 0.0, "c": 0, "f": None, "t": None,
+                          "tokens": [], "lemmas": []}
+            )
+            h["w"] += w
+            h["c"] += 1
+            h["tokens"].append((sn, list(tok_idx)))
+            h["lemmas"].append(list(lem))
+            if year is not None:
+                h["f"] = year if h["f"] is None else min(h["f"], year)
+                h["t"] = year if h["t"] is None else max(h["t"], year)
+
+    big_w = max(1.0, math.log(s_sz)) if s_sz else 1.0
+    for h in cv.values():
+        h["w"] /= math.sqrt(h["c"]) * big_w
+
+    kept_n = int(
+        min(
+            max(CONCEPT_VEC_TOP_N_TO_CLUST_SIZE_RATIO * s_sz, CONCEPT_VEC_LEAST_TOP_N),
+            CONCEPT_VEC_MOST_TOP_N,
+        )
+    )
+    cv = hash_top_n(cv, kept_n, lambda h: h["w"])
+
+    if ancestors is not None and rootdepth is not None:
+        mm = merge_nearby_terms(
+            {c: h["w"] for c, h in cv.items()},
+            {c: dict(ancestors.get(c, {c: (0, 1.0)})) for c in cv},
+            rootdepth,
+            max_nearby_depth_diff=1,
+        )
+        cv = compact_concept_vector(cv, mm)
+    return cv, vv

@@ -432,8 +432,20 @@ class ConceptMatcher:
     ) -> dict[int, float]:
         """title → {term_id: best score} (recordBestMatches semantics:
         per-term max over windows, ConceptNet.pm:3822-3845)."""
+        return {
+            tid: w for tid, (w, _, _) in self.match_title_full(title, weight_thres).items()
+        }
+
+    def match_title_full(
+        self, title: str, weight_thres: float = 0.3
+    ) -> dict[int, tuple[float, tuple[int, ...], tuple[str, ...]]]:
+        """title → {term_id: (best score, matched token indices, matched
+        lemma sequence)} — the provenance the per-title concept vector
+        carries (conceptVector hash value = [weight, token_indices,
+        lemmas], ConceptNet.pm:6209-6219), feeding titleSetToVector's
+        tokens/lemmas bookkeeping and removeOverlapTerms."""
         lemmas, gap_nums, gap_weights = self.extract_tokens(title)
-        best: dict[int, float] = {}
+        best: dict[int, tuple[float, tuple[int, ...], tuple[str, ...]]] = {}
         nw = len(lemmas)
         i = j = 0
         windows = []
@@ -462,8 +474,8 @@ class ConceptMatcher:
                     postings, scores, weight_thres
                 )
                 for tid, f in zip(tids, freqs):
-                    if f > 0 and (tid not in best or f > best[tid]):
-                        best[tid] = f
+                    if f > 0 and (tid not in best or f > best[tid][0]):
+                        best[tid] = (f, tuple(tok_idx), tuple(win_lemmas))
         return best
 
 

@@ -2216,6 +2216,64 @@ def venue_normalize(spark, sf_dir):
     return normalize_venues(surfaces, venue_col="raw")
 
 
+@q("concept_pair_simi", None)  # fuzzy matcher end-to-end — rows-only
+def concept_pair_simi(spark, sf_dir):
+    """Full reference stage-2 pair scoring end-to-end: conversation texts
+    → fuzzy concept matching with token/lemma provenance → cluster
+    vectors (titleSetToVector) → calcConceptVectorSimi per within-block
+    pair (shared-term sum + exact-lemma override, overlap dedup,
+    single-shared-term veto, venue CSLR boost, priors, ICSum gate).
+    Non-SQL-expressible (windowed matcher + sequential discounts) →
+    rows-only."""
+    import math
+
+    from namedis_spark.functions.matcher import ConceptMatcher
+    from namedis_spark.operators.concepts import cluster_pair_simi
+
+    t = load_transcripts(spark, sf_dir)
+    f = _features(spark, sf_dir)
+    texts = t.groupBy("conv_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(turn_idx, text))),"
+            " x -> x.text), ' ')"
+        ).alias("text")
+    )
+    convs = f.select(
+        "block_key", "conv_id", "venue", "year_from", "year_to"
+    ).join(texts, "conv_id")
+
+    # terms aligned with the events vocabulary so the matcher genuinely
+    # fires: single-token concepts (perfect matches) plus context-
+    # disambiguated and versioned variants exercising partial scoring
+    terms = [
+        "signup", "purchase", "error (monitoring)", "click", "view",
+        "signup v0", "purchase v1", "error v2", "click v0", "view v1",
+    ]
+    # idf-ish term weights + corpus term freqs from one aggregation
+    df_rows = (
+        t.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    n = t.select("conv_id").distinct().count()
+    tfiaf = {r["w"]: round(math.log(max(float(n) / r["df"], 1.001)) + 0.5, 6) for r in df_rows}
+    word_freq = {r["w"]: float(r["df"]) for r in df_rows}
+    m = ConceptMatcher(terms, tfiaf)
+    # IC/freq tables over the taxonomy terms: freq = min word df of the
+    # term's main tokens (phrase at most as frequent as its rarest word)
+    freqs = {}
+    for tid, term in enumerate(terms):
+        main = term.split("(")[0].strip().lower().split()
+        freqs[tid] = min((word_freq.get(w, 1.0) for w in main), default=1.0)
+    mc = sum(word_freq.values())
+    ics = {tid: math.log(mc / f) for tid, f in freqs.items()}
+    return cluster_pair_simi(
+        convs, m, ics=ics, freqs=freqs, mc=mc, ic_offset=1.0
+    )
+
+
 @q("multimodal_features", None)  # binary plumbing — no SQL oracle (rows-only)
 def multimodal_features(spark, sf_dir):
     """multimodal binary-column plumbing: docs → media table (binary

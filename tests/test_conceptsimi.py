@@ -262,3 +262,28 @@ def test_merge_nearby_respects_weight_ratio_and_depth_floor():
         max_nearby_depth_diff=1,
     )
     assert mm == {}
+
+
+def test_title_set_to_vector_goldens():
+    from namedis_spark.functions.conceptsimi import title_set_to_vector
+
+    m1 = {"svm": (0.8, (0, 1), ("support", "vector"))}
+    m2 = {"svm": (0.6, (2, 3), ("support", "vector")),
+          "nn": (1.0, (0,), ("network",))}
+    cv, vv = title_set_to_vector([m1, m2], ["icml", None], [2018, 2020])
+    # w scaled by sqrt(c) * max(1, ln 2) = sqrt(2) * 1
+    import math
+    assert cv["svm"]["w"] == pytest.approx((0.8 + 0.6) / math.sqrt(2))
+    assert cv["svm"]["c"] == 2
+    assert cv["svm"]["f"] == 2018 and cv["svm"]["t"] == 2020
+    assert cv["svm"]["tokens"] == [(0, [0, 1]), (1, [2, 3])]
+    assert cv["nn"]["w"] == pytest.approx(1.0)
+    assert vv == {"icml": 1, "UNKNOWN": 1}
+
+
+def test_hash_top_n_keeps_ties():
+    from namedis_spark.functions.conceptsimi import hash_top_n
+
+    d = {"a": 3.0, "b": 2.0, "c": 2.0, "d": 1.0}
+    out = hash_top_n(d, 2, lambda v: v)
+    assert set(out) == {"a", "b", "c"}  # tie at the cutoff kept
