@@ -50,6 +50,37 @@ def to_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pil_available() -> bool:
+    """Capability probe: a real image decoder is present. Evaluated inside
+    the worker (the decode library must exist on EXECUTORS, not the
+    driver)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _decode_image_real(payload: bytes) -> list[float]:
+    """Real image decode path (used when PIL is installed): decode, resize
+    to a fixed thumbnail, return coarse channel statistics — the stand-in
+    for a model featurizer, with the real decode cost."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB").resize((8, 8))
+    arr = np.asarray(img, dtype="float64")
+    return [
+        float(arr.mean()),
+        float(arr.std()),
+        float(arr[..., 0].mean()),
+        float(arr[..., 2].mean()),
+    ]
+
+
 def _decode_stub(payload: bytes | None, media_type: str) -> list[float]:
     """Deterministic fake decoder. A real deployment would replace this
     with PIL/torchaudio/ffmpeg decode + model feature extraction. Raises
@@ -63,17 +94,29 @@ def _decode_stub(payload: bytes | None, media_type: str) -> list[float]:
     return [float(n), float(s % 997), float(payload[0] if n else 0), float(payload[-1] if n else 0)]
 
 
+def _decode(payload: bytes | None, media_type: str, real_images: bool) -> list[float]:
+    """Dispatch: real decoder when the capability is present AND the
+    payload is an image; the deterministic stub otherwise (keeps tests
+    and this container working without media libraries)."""
+    if real_images and media_type == "image/png" and payload is not None:
+        return _decode_image_real(payload)
+    return _decode_stub(payload, media_type)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — the Arrow
     batch shape (bytes columns in, fixed-width array out) matches a real
-    image/audio featurizer."""
+    image/audio featurizer. Image decode upgrades itself automatically
+    when PIL is available on the executors (capability flag probed once
+    per Python worker)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real_images = _pil_available()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             feats = [
-                _decode_stub(p, m)
+                _decode(p, m, real_images)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
