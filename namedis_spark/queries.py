@@ -10,6 +10,14 @@ both sides — the driver hashes values after sorting columns by name.
 Conventions:
 * no map/timestamp output columns (ints, strings, rounded doubles only)
 * counts cast to bigint on both sides (DuckDB sum() yields HUGEINT)
+* VERIFICATION-ONLY pair queries (cslr_role_pairs, cslr_v1_pairs,
+  tfidf_cosine_pairs, jaccard_pairs, jaccard_type_pairs,
+  year_discount_pairs, stage2_coauthor_boost) enumerate ALL within-block
+  pairs so the oracle can replay them value-for-value — O(block²) by
+  design, for parity checking at small SF only. The production pipeline
+  routes through the capped/salted candidate paths
+  (operators/blocking.evidence_pairs + score_blocks_exhaustive); never
+  lift the enumeration queries into a production plan.
 """
 
 from __future__ import annotations
