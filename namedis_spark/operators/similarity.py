@@ -35,8 +35,18 @@ def _as_double(col: str = "embedding"):
 
 def plane_component(dialect: str, t: str, j: str, d: str, seed: int) -> str:
     """One pseudo-random plane coefficient in [-1, 1) — identical integer
-    arithmetic in both dialects (all operands non-negative, so % == pmod)."""
-    return f"(((({t} * 7919 + {j}) * 10007 + {d} * 379 + {seed}) % 2001) - 1000) / 1000.0"
+    arithmetic in both dialects (all operands non-negative, so % == pmod).
+
+    The coefficient index k = t·8191 + j·131 + d (injective for d < 131,
+    j < 62, t ≤ 16 — embedding dims beyond 130 would need a wider layout)
+    is scrambled by the Knuth multiplicative constant before the modulus:
+    a LINEAR index map (the earlier (t·7919+j)·10007 + d·379 form) makes
+    consecutive planes near-identical (10007 ≡ 2 mod 2001), collapsing
+    signatures into a handful of buckets — measured 13 distinct buckets
+    out of 256 and all-pairs candidate volume. k·2654435761 ≤ 2.7e14
+    stays far inside bigint in both engines."""
+    k = f"(({t}) * 8191 + ({j}) * 131 + ({d}) + {seed})"
+    return f"((((({k} * 2654435761) % 2147483648) % 2001) - 1000) / 1000.0)"
 
 
 def sig_expr_spark(
@@ -127,7 +137,10 @@ def lsh_candidates(
     Pair volume is Σ_tables Σ_buckets bucket² — grows with collision
     structure, not n²; n_planes scales bucket granularity with corpus
     size (planes ∝ log n keeps expected bucket size flat)."""
-    b = table_buckets(embeddings, n_tables, n_planes, seed)
+    # persist: both sides of the self-join reference the bucket table, and
+    # the T×planes×dim signature expression is expensive enough that
+    # recomputing it per reference doubles the stage
+    b = table_buckets(embeddings, n_tables, n_planes, seed).persist()
     a = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id1"))
     c = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id2"))
     return (
