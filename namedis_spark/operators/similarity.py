@@ -127,22 +127,40 @@ def table_buckets(
     return embeddings.select("vec_id", F.posexplode(sigs).alias("tbl", "bucket"))
 
 
+LSH_MAX_BUCKET_SIZE = 4096  # skew guard (see lsh_candidates)
+
+
 def lsh_candidates(
     embeddings: DataFrame,
     n_tables: int = ANN_N_TABLES,
     n_planes: int | None = ANN_N_PLANES,
     seed: int = HYPERPLANE_SEED,
+    max_bucket_size: int = LSH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Distinct (vec_id1 < vec_id2) pairs sharing a bucket in ≥1 table.
     Pair volume is Σ_tables Σ_buckets bucket² — grows with collision
     structure, not n²; n_planes scales bucket granularity with corpus
-    size (planes ∝ log n keeps expected bucket size flat)."""
+    size (planes ∝ log n keeps expected bucket size flat).
+
+    Buckets beyond ``max_bucket_size`` are dropped BEFORE the self-join
+    (the same skew guard as the minhash banding cap): one degenerate
+    flood of near-identical vectors otherwise makes pair generation
+    quadratic. Pairs inside a dropped bucket usually re-enter through a
+    finer table; a genuinely identical-vector flood belongs to exact
+    dedup, which runs first."""
     # persist: both sides of the self-join reference the bucket table, and
     # the T×planes×dim signature expression is expensive enough that
     # recomputing it per reference doubles the stage
     b = table_buckets(embeddings, n_tables, n_planes, seed).persist()
-    a = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id1"))
-    c = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id2"))
+    kept = (
+        b.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+        .select("tbl", "bucket")
+    )
+    pairable = b.join(kept, ["tbl", "bucket"])
+    a = pairable.select("tbl", "bucket", F.col("vec_id").alias("vec_id1"))
+    c = pairable.select("tbl", "bucket", F.col("vec_id").alias("vec_id2"))
     return (
         a.join(c, ["tbl", "bucket"])
         .where(F.col("vec_id1") < F.col("vec_id2"))

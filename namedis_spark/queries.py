@@ -2097,13 +2097,21 @@ _DUCK_PAIR_COSINE = """
 
 
 def _embedding_dups_oracle(threshold: float = 0.95) -> str:
-    from namedis_spark.operators.similarity import ANN_N_TABLES
+    from namedis_spark.operators.similarity import (
+        ANN_N_TABLES,
+        LSH_MAX_BUCKET_SIZE,
+    )
 
     return f"""
     WITH {_hyperplane_sigs_cte(ANN_N_TABLES, None)},
+    kept AS (
+        SELECT tbl, bucket FROM sigs
+        GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {LSH_MAX_BUCKET_SIZE}
+    ),
+    s2k AS (SELECT s.* FROM sigs s JOIN kept USING (tbl, bucket)),
     cand AS (
         SELECT DISTINCT s1.vec_id AS vec_id1, s2.vec_id AS vec_id2
-        FROM sigs s1 JOIN sigs s2
+        FROM s2k s1 JOIN s2k s2
           ON s1.tbl = s2.tbl AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
     ),
     {_DUCK_EMB_NORMS}

@@ -338,3 +338,24 @@ def test_venue_normalization(spark):
     assert got["World Wide Web"] == "www"         # alias map
     assert got["tool_07"] == "tool_07"
     assert got["  Padded  "] == "padded"
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """A flood of identical embeddings must contribute no pairs once the
+    bucket cap trips; distinct planted pairs elsewhere survive."""
+    import numpy as np
+
+    from namedis_spark.operators.similarity import lsh_candidates
+
+    rng = np.random.RandomState(23)
+    flood = [1.0] * 8
+    rows = [(i, flood) for i in range(12)]
+    a = rng.randn(8); b = a + rng.randn(8) * 0.01
+    rows += [(100, [float(x) for x in a]), (101, [float(x) for x in b])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cands = {
+        (r["vec_id1"], r["vec_id2"])
+        for r in lsh_candidates(emb, max_bucket_size=8).collect()
+    }
+    assert not any(x < 12 and y < 12 for x, y in cands)
+    assert (100, 101) in cands
