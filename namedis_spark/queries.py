@@ -2259,11 +2259,14 @@ def concept_pair_simi(spark, sf_dir):
     ).join(texts, "conv_id")
 
     # terms aligned with the events vocabulary so the matcher genuinely
-    # fires: single-token concepts (perfect matches) plus context-
-    # disambiguated and versioned variants exercising partial scoring
+    # fires: single-token concepts (perfect matches, shared channel) plus
+    # versioned variants whose BASE is a virtual taxonomy ancestor only —
+    # different versions meet at the base through the LCS channel
+    # (the base is deliberately NOT a matchable term: an LCS that is
+    # itself a shared term is skipped, ConceptNet.pm:6013)
     terms = [
-        "signup", "purchase", "error (monitoring)", "click", "view",
-        "signup v0", "purchase v1", "error v2", "click v0", "view v1",
+        "signup", "purchase", "click", "view",
+        "error v0", "error v1", "error v2", "error v3",
     ]
     # idf-ish term weights + corpus term freqs from one aggregation
     df_rows = (
@@ -2285,8 +2288,43 @@ def concept_pair_simi(spark, sf_dir):
         freqs[tid] = min((word_freq.get(w, 1.0) for w in main), default=1.0)
     mc = sum(word_freq.values())
     ics = {tid: math.log(mc / f) for tid, f in freqs.items()}
+
+    # mini taxonomy for the cross-term LCS channel: each versioned term
+    # ("error vK") is a child of a VIRTUAL base concept (id beyond the
+    # matchable terms), so two conversations matching different versions
+    # meet at the base at depth-sum 2 without the base ever being a
+    # shared term itself
+    base_ids: dict[str, int] = {}
+    base_of = {}
+    for tid, term in enumerate(terms):
+        parts = term.split()
+        if len(parts) == 2 and parts[1].startswith("v"):
+            bid = base_ids.setdefault(parts[0], len(terms) + len(base_ids))
+            base_of[tid] = bid
+    ancestors = {
+        tid: (
+            {tid: (0, 1.0), base_of[tid]: (1, 1.0)}
+            if tid in base_of
+            else {tid: (0, 1.0)}
+        )
+        for tid in range(len(terms))
+    }
+    for base, bid in base_ids.items():
+        freqs[bid] = word_freq.get(base, 1.0)
+        ics[bid] = math.log(mc / freqs[bid])
+
+    from namedis_spark.functions.conceptsimi import least_common_subsumer
+
+    def closeness_fn(c1, c2):
+        res = least_common_subsumer(ancestors.get(c1, {}), ancestors.get(c2, {}), 3)
+        if res is None:
+            return None
+        lcs, ds, at, _d1, _d2 = res
+        return (max(ics.get(lcs, 0.0) - 1.0, 0.0), at, lcs, ds)
+
     return cluster_pair_simi(
-        convs, m, ics=ics, freqs=freqs, mc=mc, ic_offset=1.0
+        convs, m, ics=ics, freqs=freqs, mc=mc, ic_offset=1.0,
+        closeness_fn=closeness_fn,
     )
 
 
