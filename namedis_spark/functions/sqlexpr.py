@@ -23,19 +23,14 @@ def tokens_expr(col: str, dialect: str) -> str:
     return f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
 
 
-def lemma_case(var: str = "t") -> str:
-    """CASE chain implementing functions.text.lemma — identical text works
-    in both dialects. Generated from the SAME irregular/doubling/e-restore
-    tables the Python lemmatizer uses, so the engines cannot drift."""
-    from namedis_spark.functions.text import (
-        _DOUBLED_FORMS,
-        _E_RESTORE,
-        IRREGULAR_LEMMAS,
-    )
+def lemma_rules_case(var: str = "t") -> str:
+    """Rule-only lemma CASE (suffix stripping + doubling/silent-e restore) —
+    everything in functions.text.lemma EXCEPT the irregular table. Small and
+    fixed-size, so it stays inline in codegen; the (growable) irregular
+    table is applied separately (broadcast join on the Spark side, WHEN
+    chain in the DuckDB twin via lemma_case)."""
+    from namedis_spark.functions.text import _DOUBLED_FORMS, _E_RESTORE
 
-    irr = " ".join(
-        f"WHEN {var} = '{s}' THEN '{l}'" for s, l in sorted(IRREGULAR_LEMMAS.items())
-    )
     doubled = ", ".join(f"'{d}'" for d in sorted(_DOUBLED_FORMS))
     erestore = ", ".join(f"'{e}'" for e in sorted(_E_RESTORE))
 
@@ -54,7 +49,7 @@ def lemma_case(var: str = "t") -> str:
         f" OR {var} LIKE '%ches' OR {var} LIKE '%shes')"
     )
     return (
-        f"CASE {irr} "
+        f"CASE "
         f"WHEN length({var}) > 4 AND {es} THEN substr({var}, 1, length({var}) - 2) "
         f"WHEN length({var}) > 4 AND {var} LIKE '%ies' THEN substr({var}, 1, length({var}) - 3) || 'y' "
         f"WHEN length({var}) > 5 AND {var} LIKE '%ing' THEN {ing} "
@@ -64,14 +59,40 @@ def lemma_case(var: str = "t") -> str:
     )
 
 
-def content_terms_expr(col: str, dialect: str) -> str:
-    """tokens → drop stopwords → lemma each. Array/list expression."""
+def lemma_case(var: str = "t") -> str:
+    """CASE chain implementing functions.text.lemma — identical text works
+    in both dialects. Generated from the SAME irregular/doubling/e-restore
+    tables the Python lemmatizer uses, so the engines cannot drift. Used in
+    array-lambda contexts (and all DuckDB oracles); Spark hot paths use the
+    broadcast-join form in operators.features.exploded_content_terms, which
+    keeps codegen small as the irregular table grows."""
+    from namedis_spark.functions.text import IRREGULAR_LEMMAS
+
+    irr = " ".join(
+        f"WHEN {var} = '{s}' THEN '{l}'" for s, l in sorted(IRREGULAR_LEMMAS.items())
+    )
+    rules = lemma_rules_case(var)
+    # splice the irregular WHENs in front of the rule WHENs
+    assert rules.startswith("CASE ")
+    return f"CASE {irr} " + rules[len("CASE ") :]
+
+
+def content_tokens_expr(col: str, dialect: str) -> str:
+    """tokens → drop stopwords (NO lemma). Array/list expression — the
+    pre-lemma half of content_terms_expr, for the Spark broadcast-join
+    lemma path (operators.features.exploded_content_terms)."""
     toks = tokens_expr(col, dialect)
     sw = stopword_list_sql()
     if dialect == "spark":
-        no_sw = f"filter({toks}, t -> NOT array_contains(array({sw}), t))"
+        return f"filter({toks}, t -> NOT array_contains(array({sw}), t))"
+    return f"list_filter({toks}, t -> NOT list_contains([{sw}], t))"
+
+
+def content_terms_expr(col: str, dialect: str) -> str:
+    """tokens → drop stopwords → lemma each. Array/list expression."""
+    no_sw = content_tokens_expr(col, dialect)
+    if dialect == "spark":
         return f"transform({no_sw}, t -> {lemma_case('t')})"
-    no_sw = f"list_filter({toks}, t -> NOT list_contains([{sw}], t))"
     return f"list_transform({no_sw}, t -> {lemma_case('t')})"
 
 

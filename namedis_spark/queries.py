@@ -256,10 +256,14 @@ def conversation_features_q(spark, sf_dir):
 )
 def term_frequencies(spark, sf_dir):
     """content-term frequency table (extractTitleGrams analog,
-    NLPUtil.pm:2477-2506; stopword removal + lemma rules)."""
+    NLPUtil.pm:2477-2506; stopword removal + lemma rules). Lemma applied
+    via broadcast irregular join (see exploded_content_terms), not the
+    inline CASE chain — fixed the r2 +86% codegen regression."""
+    from namedis_spark.operators.features import exploded_content_terms
+
     t = load_transcripts(spark, sf_dir)
     return (
-        t.select(F.explode(F.expr(content_terms_expr("text", "spark"))).alias("term"))
+        exploded_content_terms(t, keep=())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -895,12 +899,10 @@ def top_terms_per_conv(spark, sf_dir):
     concept-vector top-N prune, ConceptNet.pm:6251-6266) via window rank."""
     from pyspark.sql import Window
 
+    from namedis_spark.operators.features import exploded_terms
+
     t = load_transcripts(spark, sf_dir)
-    tf = (
-        t.select("conv_id", F.explode(F.expr(content_terms_expr("text", "spark"))).alias("term"))
-        .groupBy("conv_id", "term")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    tf = exploded_terms(t)
     w = Window.partitionBy("conv_id").orderBy(F.desc("freq"), F.asc("term"))
     return (
         tf.withColumn("rk", F.row_number().over(w).cast("int"))
