@@ -161,12 +161,28 @@ def q(name: str, oracle: str | None):
     return deco
 
 
+_SUBREPORTS: dict[str, QuerySpec] = {}
+
+
+def subreport(name: str, oracle: str):
+    """Like @q but collected into the merged `corpus_reports` entry instead
+    of a standalone registry row: the driver verifies at most 50 queries, so
+    the five scalar (key, value) report queries union into one verified
+    query and every evidence/similarity query keeps its own row."""
+
+    def deco(fn):
+        _SUBREPORTS[name] = QuerySpec(spark_fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # §2.1/2.4 scans + aggregations
 # ---------------------------------------------------------------------------
 
 
-@q(
+@subreport(
     "count_by_year",
     "SELECT CAST(year(ts) AS int) AS year, CAST(count(*) AS bigint) AS n_events "
     "FROM events GROUP BY 1",
@@ -180,7 +196,7 @@ def count_by_year(spark, sf_dir):
     )
 
 
-@q(
+@subreport(
     "top_focus_names",
     _DUCK_TRANSCRIPTS
     + """
@@ -203,7 +219,7 @@ def top_focus_names(spark, sf_dir):
     )
 
 
-@q(
+@subreport(
     "normalize_name_keys",
     _DUCK_TRANSCRIPTS
     + f"""
@@ -460,7 +476,7 @@ def flagship_linkage(spark, sf_dir):
     )
 
 
-@q(
+@subreport(
     "cluster_sizes",
     _DUCK_FLAGSHIP.replace(
         """SELECT bl.block_key, bl.conv_id,
@@ -967,7 +983,7 @@ def block_role_union(spark, sf_dir):
     )
 
 
-@q(
+@subreport(
     "venue_rank",
     _DUCK_FEATURES
     + """
@@ -985,6 +1001,52 @@ def venue_rank(spark, sf_dir):
         .orderBy(F.desc("n_convs"), F.asc("venue"))
         .limit(10)
     )
+
+
+# (key column, value column) of each subreport, for the uniform merge shape
+_REPORT_COLS = {
+    "count_by_year": ("year", "n_events"),
+    "top_focus_names": ("focus_name", "n_convs"),
+    "normalize_name_keys": ("norm_key", "n_turns"),
+    "cluster_sizes": ("cluster_id", "n_convs"),
+    "venue_rank": ("venue", "n_convs"),
+}
+
+
+def _corpus_reports_oracle() -> str:
+    parts = []
+    for name, spec in _SUBREPORTS.items():
+        k, v = _REPORT_COLS[name]
+        parts.append(
+            f"SELECT '{name}' AS report, CAST({k} AS varchar) AS key, "
+            f"CAST({v} AS bigint) AS value FROM ({spec.oracle})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q("corpus_reports", _corpus_reports_oracle())
+def corpus_reports(spark, sf_dir):
+    """Union of the five scalar report queries — count-by-year
+    (clean.pl:350,398-404), count-by-name top-100 (clean.pl:352-418),
+    blocking-key normalization (NLPUtil.pm:1854-1876), cluster-size report
+    (clust.pl:675-725), and venue top-N (NLPUtil.pm:1550-1678) — merged to
+    one verified row so the 50-query driver window covers every
+    evidence/similarity query (each sub-report keeps its own oracle SQL,
+    unioned with a report tag)."""
+    dfs = []
+    for name, spec in _SUBREPORTS.items():
+        k, v = _REPORT_COLS[name]
+        dfs.append(
+            spec.spark_fn(spark, sf_dir).select(
+                F.lit(name).alias("report"),
+                F.col(k).cast("string").alias("key"),
+                F.col(v).cast("bigint").alias("value"),
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2384,46 +2446,6 @@ def _chinese_name_oracle() -> str:
     )
 
 
-@q("chinese_name_flags", _chinese_name_oracle())
-def chinese_name_flags(spark, sf_dir):
-    """pinyin-decomposability name classifier (isChineseName,
-    NLPUtil.pm:1680-1710; syllable table à la loadPinyin:1339-1368, generated
-    from the standard initial×final inventory): per distinct normalized
-    name, the pinyin character count (2-3) or 0."""
-    import pandas as pd
-    import pyspark.sql.types as T
-
-    from namedis_spark.functions.text import chinese_name_chars
-
-    t = load_transcripts(spark, sf_dir)
-    names = t.select(
-        F.expr(norm_name_expr("role", "spark")).alias("name")
-    ).distinct()
-
-    schema = T.StructType(
-        [
-            T.StructField("name", T.StringType()),
-            T.StructField("cn_chars", T.IntegerType()),
-        ]
-    )
-
-    def udf(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield pd.DataFrame(
-                {
-                    "name": pdf["name"],
-                    "cn_chars": pd.Series(
-                        [chinese_name_chars(n) for n in pdf["name"]],
-                        dtype="int32",
-                    ),
-                }
-            )
-
-    return names.mapInPandas(udf, schema=schema)
-
-
 def _cantonese_name_oracle() -> str:
     from namedis_spark.functions.text import (
         cantonese_syllables,
@@ -2648,16 +2670,28 @@ def name_reverse_votes(spark, sf_dir):
     return names.mapInPandas(udf, schema=schema)
 
 
-@q("cantonese_name_flags", _cantonese_name_oracle())
-def cantonese_name_flags(spark, sf_dir):
-    """Cantonese-romanization name classifier (isCantoneseName,
-    NLPUtil.pm:1712-1748): two-part names reading as Cantonese (HK
-    conventional) but not as standard pinyin; syllabary generated from the
-    initial×final inventory, shared with the oracle."""
+def _name_flags_oracle() -> str:
+    """cn_chars ⋈ is_cantonese per distinct name (both sub-oracles emit
+    exactly one row per name)."""
+    return (
+        f"SELECT a.name, a.cn_chars, b.is_cantonese "
+        f"FROM ({_chinese_name_oracle()}) a "
+        f"JOIN ({_cantonese_name_oracle()}) b USING (name)"
+    )
+
+
+@q("chinese_name_flags", _name_flags_oracle())
+def chinese_name_flags(spark, sf_dir):
+    """pinyin/Cantonese name classifiers in one pass over the distinct
+    normalized names: isChineseName (NLPUtil.pm:1680-1710; syllable table à
+    la loadPinyin:1339-1368, generated from the standard initial×final
+    inventory) gives the pinyin character count (2-3) or 0, and
+    isCantoneseName (NLPUtil.pm:1712-1748) flags two-part names reading as
+    Cantonese (HK conventional) but not as standard pinyin."""
     import pandas as pd
     import pyspark.sql.types as T
 
-    from namedis_spark.functions.text import is_cantonese_name
+    from namedis_spark.functions.text import chinese_name_chars, is_cantonese_name
 
     t = load_transcripts(spark, sf_dir)
     names = t.select(
@@ -2667,6 +2701,7 @@ def cantonese_name_flags(spark, sf_dir):
     schema = T.StructType(
         [
             T.StructField("name", T.StringType()),
+            T.StructField("cn_chars", T.IntegerType()),
             T.StructField("is_cantonese", T.IntegerType()),
         ]
     )
@@ -2678,6 +2713,10 @@ def cantonese_name_flags(spark, sf_dir):
             yield pd.DataFrame(
                 {
                     "name": pdf["name"],
+                    "cn_chars": pd.Series(
+                        [chinese_name_chars(n) for n in pdf["name"]],
+                        dtype="int32",
+                    ),
                     "is_cantonese": pd.Series(
                         [is_cantonese_name(n) for n in pdf["name"]],
                         dtype="int32",
@@ -3176,11 +3215,30 @@ def stage2_coauthor_boost_q(spark, sf_dir):
     return pairs.mapInPandas(udf, schema=schema)
 
 
+# Queries the r1/r2 driver windows never (or least recently) verified go
+# FIRST in the exported ordering — the driver checks a bounded prefix of
+# the registry, and definition order had silently dropped the last five.
+_VERIFY_FIRST = (
+    "stage2_coauthor_boost",
+    "blocking_candidates",
+    "block_term_vectors",
+    "coauthor_evidence_errors",
+    "jaccard_type_pairs",
+)
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    return head + [n for n in REGISTRY if n not in _VERIFY_FIRST]
+
+
 def entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+    return {n: REGISTRY[n].spark_fn for n in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        n: REGISTRY[n].oracle
+        for n in _ordered_names()
+        if REGISTRY[n].oracle is not None
     }
