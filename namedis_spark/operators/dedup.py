@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 
 from namedis_spark.functions.sqlexpr import fingerprint_expr, tokens_expr
 
+from namedis_spark.caching import tracked_persist
+
 # MinHash parameters: h_i(x) = (a_i * x + b_i) mod P over the md5-derived
 # 60-bit shingle key. P is a Mersenne-ish prime below 2^61 so products fit
 # in int128 (DuckDB) / Python int; Spark-side we stay in bigint via pmod on
@@ -155,7 +157,7 @@ def lsh_candidate_pairs(
     into every reference (measured 105s → 13s at sf0.1). One short row
     per doc; in a long-lived session the block is evicted LRU or freed
     with the DataFrame."""
-    sig = minhash_signatures(docs, text_col).persist()
+    sig = tracked_persist(minhash_signatures(docs, text_col))
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for bnd in range(N_BANDS):

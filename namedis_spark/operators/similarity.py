@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from namedis_spark.caching import tracked_persist
+
 HYPERPLANE_SEED = 7
 ANN_N_PLANES = 6
 ANN_N_TABLES = 12
@@ -151,7 +153,7 @@ def lsh_candidates(
     # persist: both sides of the self-join reference the bucket table, and
     # the T×planes×dim signature expression is expensive enough that
     # recomputing it per reference doubles the stage
-    b = table_buckets(embeddings, n_tables, n_planes, seed).persist()
+    b = tracked_persist(table_buckets(embeddings, n_tables, n_planes, seed))
     kept = (
         b.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -98,13 +98,17 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clear_feature_cache() -> None:
-    """Unpersist and drop every cached feature table (session-close hook)."""
+    """Unpersist and drop every cached feature table plus the tracked
+    operator intermediates (session-close hook)."""
+    from namedis_spark.caching import release_all
+
     while _FEATURE_CACHE:
         _, df = _FEATURE_CACHE.popitem()
         try:
             df.unpersist()
         except Exception:
             pass
+    release_all()
 
 
 _DUCK_TRANSCRIPTS = f"WITH transcripts AS ({transcripts_sql('duckdb')})"
@@ -1430,7 +1434,7 @@ def tfidf_cosine_pairs(spark, sf_dir):
     path: the dot product is an equi-join on term, never a per-pair map
     shipment. (The python twin functions.core.tfidf_cosine is exercised by
     the pipeline scorer and unit tests.)"""
-    f = _features(spark, sf_dir).persist()
+    f = _features(spark, sf_dir)  # already persisted by the feature cache
     n = f.count()
     tf = f.select("conv_id", F.explode("term_freq").alias("term", "tfv"))
     idf = (
@@ -2332,14 +2336,27 @@ def concept_pair_simi(spark, sf_dir):
         "signup", "purchase", "click", "view",
         "error v0", "error v1", "error v2", "error v3",
     ]
-    # idf-ish term weights + corpus term freqs from one aggregation
-    df_rows = (
+    # idf-ish term weights + corpus term freqs from one aggregation. The
+    # word-level df table is FILTERED to the bounded taxonomy vocabulary
+    # (raw term tokens + their lemmas) before the collect: the matcher only
+    # ever looks tfiaf/word_freq up by term-token lemmas, so the prune is
+    # semantics-preserving, and the driver-side table is O(|taxonomy|) —
+    # never the unbounded corpus vocabulary (web text: typos, ids, hashes).
+    # The corpus mass total stays exact via a distributed scalar agg.
+    from namedis_spark.functions.matcher import lemma_suffix
+
+    _tax_words = {
+        w for tt in terms for w in tt.replace("(", " ").replace(")", " ").lower().split()
+    }
+    vocab = sorted(_tax_words | {lemma_suffix(w)[0] for w in _tax_words})
+    wdf = (
         t.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
-        .collect()
     )
+    mc = float(wdf.agg(F.sum("df").alias("s")).collect()[0]["s"] or 1.0)
+    df_rows = wdf.where(F.col("w").isin(vocab)).collect()
     n = t.select("conv_id").distinct().count()
     tfiaf = {r["w"]: round(math.log(max(float(n) / r["df"], 1.001)) + 0.5, 6) for r in df_rows}
     word_freq = {r["w"]: float(r["df"]) for r in df_rows}
@@ -2350,7 +2367,6 @@ def concept_pair_simi(spark, sf_dir):
     for tid, term in enumerate(terms):
         main = term.split("(")[0].strip().lower().split()
         freqs[tid] = min((word_freq.get(w, 1.0) for w in main), default=1.0)
-    mc = sum(word_freq.values())
     ics = {tid: math.log(mc / f) for tid, f in freqs.items()}
 
     # mini taxonomy for the cross-term LCS channel: each versioned term
@@ -2611,31 +2627,48 @@ def name_reverse_votes(spark, sf_dir):
 
     from namedis_spark.functions.nameorder import derived_name_exprs, name_reverse_vote
 
+    from namedis_spark.caching import tracked_persist
+
     t = load_transcripts(spark, sf_dir)
     n1, n2 = derived_name_exprs("spark", "conv_id")
-    names = (
+    names = tracked_persist(
         t.select("conv_id")
         .distinct()
         .select("conv_id", F.expr(n1).alias("name1"), F.expr(n2).alias("name2"))
-        .persist()
     )
 
     # probability tables from the plain single/single surfaces (both
-    # derived names considered; the vote port gates on syllable counts)
+    # derived names considered; the vote port gates on syllable counts).
+    # The per-part counting runs DISTRIBUTED — the syllable-pair gate is
+    # pushed into the query and only the aggregated (part, role, count)
+    # table is collected, bounded by 2× the 407-syllable vocabulary, never
+    # O(#conversations) (mirrors corpus.name_part_logprobs).
     import math as _math
 
     from namedis_spark.functions.text import _SYLLABLES
 
-    rows = names.select(
-        F.explode(F.array("name1", "name2")).alias("nm")
-    ).collect()
-    sur_cnt: dict[str, float] = {}
-    giv_cnt: dict[str, float] = {}
-    for r in rows:
-        p = r["nm"].split(" ")
-        if len(p) == 2 and "-" not in r["nm"] and p[0] in _SYLLABLES and p[1] in _SYLLABLES:
-            giv_cnt[p[0]] = giv_cnt.get(p[0], 0) + 1
-            sur_cnt[p[1]] = sur_cnt.get(p[1], 0) + 1
+    syls = sorted(_SYLLABLES)
+    part_rows = (
+        names.select(F.explode(F.array("name1", "name2")).alias("nm"))
+        .where(~F.col("nm").contains("-"))
+        .select(F.split("nm", " ").alias("p"))
+        .where(F.size("p") == 2)
+        .select(F.col("p")[0].alias("giv"), F.col("p")[1].alias("sur"))
+        .where(F.col("giv").isin(syls) & F.col("sur").isin(syls))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("giv").alias("part"), F.lit("g").alias("role")),
+                    F.struct(F.col("sur").alias("part"), F.lit("s").alias("role")),
+                )
+            ).alias("x")
+        )
+        .groupBy("x.part", "x.role")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    sur_cnt = {r["part"]: float(r["cnt"]) for r in part_rows if r["role"] == "s"}
+    giv_cnt = {r["part"]: float(r["cnt"]) for r in part_rows if r["role"] == "g"}
     st = sum(sur_cnt.values()) or 1.0
     gt = sum(giv_cnt.values()) or 1.0
     sur_lp = {k: _math.log(v / st) for k, v in sur_cnt.items()}
@@ -2750,11 +2783,22 @@ def concept_match_titles(spark, sf_dir):
         "query plan", "filter", "stream group", "data column",
         "merge batch", "key value",
     ]
+    # df table pruned to the bounded taxonomy vocabulary before collect —
+    # the matcher only looks tfiaf up by term-token lemmas (see
+    # concept_pair_simi for the argument); O(|taxonomy|) driver rows, not
+    # the unbounded corpus vocabulary.
+    from namedis_spark.functions.matcher import lemma_suffix
+
+    _tax_words = {
+        w for tt in terms for w in tt.replace("(", " ").replace(")", " ").lower().split()
+    }
+    vocab = sorted(_tax_words | {lemma_suffix(w)[0] for w in _tax_words})
     df_rows = (
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("w").isin(vocab))
         .collect()
     )
     n = docs.count()

@@ -110,9 +110,11 @@ def get_spark(
 def close_session(spark: SparkSession) -> None:
     """Stop a session cleanly: release the query-registry feature cache
     (persisted DataFrames) before stopping the JVM."""
+    from namedis_spark.caching import release_all
     from namedis_spark.queries import clear_feature_cache
 
     clear_feature_cache()
+    release_all()
     spark.stop()
 
 
