@@ -111,6 +111,52 @@ def clear_feature_cache() -> None:
     release_all()
 
 
+def _assert_golden(df: DataFrame, name: str, sf_dir: str, tol: float = 1e-6) -> DataFrame:
+    """Join-assert a non-SQL-expressible query against its committed golden
+    (goldens/{name}_{sfbase}.csv) when one exists for this input dir: any
+    value drift raises, turning the driver's rows-only check into a value
+    check. Silently skipped when no golden is committed (other SFs, bench
+    runs), so the assertion costs nothing outside verification. The compare
+    is driver-side over the small verification output; regenerate with
+    scripts/regen_goldens.py after an intentional scoring change."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    gpath = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "goldens", f"{name}_{base}.csv"
+    )
+    if not os.path.exists(gpath):
+        return df
+    import pandas as pd
+
+    def norm(p):
+        p = p[sorted(p.columns)].copy()
+        for c in p.columns:
+            if str(p[c].dtype).startswith("float"):
+                p[c] = p[c].round(6)
+            else:
+                p[c] = p[c].astype(str)
+        return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+    g, x = norm(df.toPandas()), norm(pd.read_csv(gpath))
+    if len(g) != len(x):
+        raise AssertionError(f"{name}: {len(g)} rows vs golden {len(x)}")
+    if list(g.columns) != list(x.columns):
+        raise AssertionError(f"{name}: columns {list(g.columns)} vs golden {list(x.columns)}")
+    for c in g.columns:
+        if str(g[c].dtype).startswith("float"):
+            bad = (g[c] - x[c]).abs() > tol
+        else:
+            bad = g[c] != x[c]
+        if bad.any():
+            i = int(bad.idxmax())
+            raise AssertionError(
+                f"{name} drifted from golden at row {i} col {c}: "
+                f"{g[c][i]!r} != {x[c][i]!r}"
+            )
+    return df
+
+
 _DUCK_TRANSCRIPTS = f"WITH transcripts AS ({transcripts_sql('duckdb')})"
 
 # DuckDB per-conversation feature CTE used by several oracles: focus name,
@@ -2402,9 +2448,13 @@ def concept_pair_simi(spark, sf_dir):
         lcs, ds, at, _d1, _d2 = res
         return (max(ics.get(lcs, 0.0) - 1.0, 0.0), at, lcs, ds)
 
-    return cluster_pair_simi(
-        convs, m, ics=ics, freqs=freqs, mc=mc, ic_offset=1.0,
-        closeness_fn=closeness_fn,
+    return _assert_golden(
+        cluster_pair_simi(
+            convs, m, ics=ics, freqs=freqs, mc=mc, ic_offset=1.0,
+            closeness_fn=closeness_fn,
+        ),
+        "concept_pair_simi",
+        sf_dir,
     )
 
 
@@ -2417,9 +2467,13 @@ def multimodal_features(spark, sf_dir):
 
     register_views(spark, sf_dir)
     media = to_media_table(spark.table("documents"))
-    return extract_features(media).select(
-        "doc_id", "media_type", "n_bytes",
-        F.round(F.element_at("feature", 2), 6).alias("f_checksum"),
+    return _assert_golden(
+        extract_features(media).select(
+            "doc_id", "media_type", "n_bytes",
+            F.round(F.element_at("feature", 2), 6).alias("f_checksum"),
+        ),
+        "multimodal_features",
+        sf_dir,
     )
 
 
@@ -2806,8 +2860,12 @@ def concept_match_titles(spark, sf_dir):
         r["w"]: round(math.log(float(n) / r["df"]) + 0.5, 6) for r in df_rows
     }
     m = ConceptMatcher(terms, tfiaf)
-    return concept_match(docs, m, id_col="doc_id", text_col="text").select(
-        F.col("id").alias("doc_id"), "term", "weight"
+    return _assert_golden(
+        concept_match(docs, m, id_col="doc_id", text_col="text").select(
+            F.col("id").alias("doc_id"), "term", "weight"
+        ),
+        "concept_match_titles",
+        sf_dir,
     )
 
 
