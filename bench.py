@@ -69,6 +69,27 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
 
+    # taxonomy machinery at reference scale (~113k-node DAG, csmathling.txt
+    # shape): closure → attenuation → IC pass-up → depth-gated LCS
+    from namedis_spark.operators.taxonomy import (
+        ancestor_closure,
+        large_dag_edges,
+        large_dag_term_freqs,
+        lcs_closeness,
+        with_attenuation,
+    )
+
+    t0 = time.time()
+    tax_edges = large_dag_edges(spark)
+    tax_tf = large_dag_term_freqs(spark)
+    tax_catt = with_attenuation(ancestor_closure(tax_edges)).persist()
+    n_lcs = lcs_closeness(tax_tf, tax_catt).count()
+    tax_catt.unpersist()
+    dt = round(time.time() - t0, 3)
+    timings["taxonomy_100k"] = dt
+    total += dt
+    print(f"# taxonomy_100k: {n_lcs} LCS pairs in {dt}s", file=sys.stderr)
+
     # pipeline throughput on the synthetic transcript tier
     from namedis_spark import pipeline
     from namedis_spark.datagen import generate_transcripts

@@ -83,6 +83,7 @@ def ancestor_closure(
     edges: DataFrame,
     max_height: int = MAX_DAG_HEIGHT,
     extra_nodes: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(term, ancestor, depth) with min-depth semantics over a DAG given
     as (term, parent[, depth]) edges — BFS as iterative frontier joins.
@@ -119,6 +120,7 @@ def ancestor_closure(
         F.col("n").alias("term"), F.col("n").alias("ancestor"), F.lit(0).alias("depth")
     ).localCheckpoint(eager=True)
     frontier = closure
+    rounds = 0
     for _ in range(max_height):
         step = (
             frontier.alias("f")
@@ -135,9 +137,12 @@ def ancestor_closure(
         )
         if new.limit(1).count() == 0:
             break
+        rounds += 1
         closure = closure.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds  # == DAG height when it converged
     return closure
 
 
@@ -231,8 +236,16 @@ def lcs_closeness(
     attenuated depth-sum where recAtten = 1/atten >= 1) with a final
     lexical tie-break for cross-engine determinism; closeness =
     max(IC(lcs) − ICOffset, 0) (calcTermCloseness)."""
-    corpus_closure = closure_att.join(
-        term_freqs.select("term").distinct(), "term"
+    # Pre-filter both join sides to depth <= max_depth_sum BEFORE the
+    # ancestor self-join: any surviving pair needs d1 + d2 <= D with both
+    # non-negative, so each side's deeper closure rows can never
+    # contribute. Without this, every near-root ancestor joins its FULL
+    # descendant set against itself (deg² probe pairs — at a 10^5-node
+    # taxonomy the root alone would be 10^10 probes); with it, an
+    # ancestor's join degree is bounded by its <=D-depth cone.
+    corpus_closure = (
+        closure_att.where(F.col("depth") <= max_depth_sum)
+        .join(term_freqs.select("term").distinct(), "term")
     )
     a = corpus_closure.select(
         F.col("term").alias("term1"),
@@ -428,6 +441,77 @@ def synthetic_dag(term_freqs: DataFrame) -> DataFrame:
     )
     edges = vocab_edges(term_freqs).unionByName(upper)
     return apply_exclusions(edges, EXCLUDED_TERMS, EXCLUDED_EDGES)
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale synthetic DAG (~10^5 nodes) — the csmathling.txt graph is
+# ~100k terms over a category tree of height ~5 with multi-parent links
+# (/root/reference/wikipedia/csmathling.txt schema `term \t parent \t
+# depth`). Generated DISTRIBUTED via spark.range: no driver-side edge list.
+# ---------------------------------------------------------------------------
+
+LARGE_N_TERMS = 100_000
+LARGE_N_MIDS = 12_000
+LARGE_N_SUBCATS = 1_024
+LARGE_N_CATS = 64
+LARGE_N_SUPERS = 8
+
+
+def large_dag_edges(
+    spark: SparkSession,
+    n_terms: int = LARGE_N_TERMS,
+    n_mids: int = LARGE_N_MIDS,
+    n_subcats: int = LARGE_N_SUBCATS,
+    n_cats: int = LARGE_N_CATS,
+    n_supers: int = LARGE_N_SUPERS,
+    multi_parent_every: int = 3,
+) -> DataFrame:
+    """(term, parent) edges of a deterministic height-5 DAG:
+    term → mid → subcat → cat → supercat → ROOT, with every
+    ``multi_parent_every``-th term and mid acquiring a second
+    (Knuth-scrambled) parent — the multi-parent structure that makes
+    min-depth BFS and batch attenuation non-trivial at scale."""
+
+    def lvl(n: int, pfx: str, np: int, ppfx: str) -> DataFrame:
+        return spark.range(n).select(
+            F.concat(F.lit(pfx), F.col("id")).alias("term"),
+            F.concat(F.lit(ppfx), F.col("id") % np).alias("parent"),
+        )
+
+    def extra(n: int, pfx: str, np: int, ppfx: str) -> DataFrame:
+        # second parent from a multiplicative scramble — decorrelated from
+        # the primary (id % np) assignment
+        return spark.range(0, n, multi_parent_every).select(
+            F.concat(F.lit(pfx), F.col("id")).alias("term"),
+            F.concat(
+                F.lit(ppfx), (F.col("id") * F.lit(2654435761) % F.lit(np))
+            ).alias("parent"),
+        )
+
+    supers = spark.range(n_supers).select(
+        F.concat(F.lit("S"), F.col("id")).alias("term"), F.lit(ROOT).alias("parent")
+    )
+    edges = (
+        lvl(n_terms, "t", n_mids, "m")
+        .unionByName(extra(n_terms, "t", n_mids, "m"))
+        .unionByName(lvl(n_mids, "m", n_subcats, "s"))
+        .unionByName(extra(n_mids, "m", n_subcats, "s"))
+        .unionByName(lvl(n_subcats, "s", n_cats, "c"))
+        .unionByName(lvl(n_cats, "c", n_supers, "S"))
+        .unionByName(supers)
+    )
+    return edges.distinct()
+
+
+def large_dag_term_freqs(
+    spark: SparkSession, n_terms: int = LARGE_N_TERMS
+) -> DataFrame:
+    """Deterministic corpus frequencies for the leaf terms: freq cycles
+    1..100 — total mass is closed-form checkable after pass-up."""
+    return spark.range(n_terms).select(
+        F.concat(F.lit("t"), F.col("id")).alias("term"),
+        (F.col("id") % 100 + 1).cast("double").alias("freq"),
+    )
 
 
 def closeness_fn_from_df(closeness_df: DataFrame):
