@@ -190,27 +190,46 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     language. The phrase/apostrophe refinements live in the Python port
     ``test_lang`` (used by the cleaning filter); this engine-side vote
     uses plain set membership so the DuckDB oracle replays it exactly."""
-    from namedis_spark.functions.langdata import (
-        DE_ONLY,
-        DE_SHARED,
-        DE_WORDS,
-        EN_WORDS,
-        FR_ONLY,
-        FR_SHARED,
-        FR_WORDS,
-    )
+    from namedis_spark.functions.langdata import DE_WORDS, EN_WORDS, FR_WORDS
 
+    # The dictionaries are thousands of words per language: membership is
+    # resolved by a BROADCAST JOIN on the exploded tokens (hash lookup,
+    # constant codegen) — an inline array_contains(array(<N literals>))
+    # grows codegen linearly with the dictionary and scans O(N) per token
+    # (the same failure mode the lemma CASE chain had). The DuckDB oracle
+    # keeps the generated IN-list form; both derive from langdata.
+    spark = docs.sparkSession
+    vocab = sorted(DE_WORDS | FR_WORDS | EN_WORDS)
+    dic = spark.createDataFrame(
+        [(w, int(w in DE_WORDS), int(w in FR_WORDS), int(w in EN_WORDS)) for w in vocab],
+        "w string, in_de int, in_fr int, in_en int",
+    )
     toks = tokens_expr(text_col, "spark")
-
-    def lst(ws) -> str:
-        return ", ".join(f"'{w}'" for w in sorted(ws))
-
-    n_words = F.size(F.expr(toks))
-    cnt = lambda ws: F.size(  # noqa: E731
-        F.expr(f"filter({toks}, t -> array_contains(array({lst(ws)}), t))")
+    ex = docs.select("doc_id", F.explode_outer(F.expr(toks)).alias("w"))
+    j = ex.join(F.broadcast(dic), "w", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("in_de", F.lit(0)).alias("in_de"),
+        F.coalesce("in_fr", F.lit(0)).alias("in_fr"),
+        F.coalesce("in_en", F.lit(0)).alias("in_en"),
     )
-    de, sh_de, en_de = cnt(DE_ONLY), cnt(DE_SHARED), cnt(EN_WORDS - DE_WORDS)
-    fr, sh_fr, en_fr = cnt(FR_ONLY), cnt(FR_SHARED), cnt(EN_WORDS - FR_WORDS)
+
+    def s(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
+    agg = j.groupBy("doc_id").agg(
+        F.count("w").cast("int").alias("n_words"),  # null token row → 0
+        s((F.col("in_de") == 1) & (F.col("in_en") == 0)).alias("de_hits"),
+        s((F.col("in_de") == 1) & (F.col("in_en") == 1)).alias("sh_de"),
+        s((F.col("in_en") == 1) & (F.col("in_de") == 0)).alias("en_de"),
+        s((F.col("in_fr") == 1) & (F.col("in_en") == 0)).alias("fr_hits"),
+        s((F.col("in_fr") == 1) & (F.col("in_en") == 1)).alias("sh_fr"),
+        s((F.col("in_en") == 1) & (F.col("in_fr") == 0)).alias("en_fr"),
+        s(F.col("in_en") == 1).alias("en_hits"),
+    )
+    de, sh_de, en_de = F.col("de_hits"), F.col("sh_de"), F.col("en_de")
+    fr, sh_fr, en_fr = F.col("fr_hits"), F.col("sh_fr"), F.col("en_fr")
+    n_words = F.col("n_words")
     short_de = (n_words <= 4) & (en_de >= n_words - 1)
     short_fr = (n_words <= 4) & (en_fr >= n_words - 1)
     is_de = ~short_de & (de > 0) & ((de * 3 >= en_de) | (sh_de >= en_de))
@@ -218,12 +237,12 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # label tie-break: the reference only needs the binary foreign-vs-
     # english verdict (clean.pl drops the record if EITHER test fires);
     # for the label, the language with more native hits wins
-    return docs.select(
+    return agg.select(
         "doc_id",
-        n_words.alias("n_words"),
-        de.alias("de_hits"),
-        fr.alias("fr_hits"),
-        cnt(EN_WORDS).alias("en_hits"),
+        "n_words",
+        "de_hits",
+        "fr_hits",
+        "en_hits",
         F.when(is_de & (~is_fr | (de >= fr)), "de")
         .when(is_fr, "fr")
         .otherwise("en")

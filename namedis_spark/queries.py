@@ -1889,31 +1889,45 @@ def quality_scores_q(spark, sf_dir):
 
 
 def _language_id_oracle() -> str:
-    from namedis_spark.functions.langdata import (
-        DE_ONLY,
-        DE_SHARED,
-        DE_WORDS,
-        EN_WORDS,
-        FR_ONLY,
-        FR_SHARED,
-        FR_WORDS,
-    )
+    from namedis_spark.functions.langdata import DE_WORDS, EN_WORDS, FR_WORDS
 
     toks = tokens_expr("text", "duckdb")
-    lst = lambda ws: ", ".join(f"'{w}'" for w in sorted(ws))  # noqa: E731
-    cnt = lambda ws: (  # noqa: E731
-        f"len(list_filter(toks, t -> list_contains([{lst(ws)}], t)))"
+    vocab = sorted(DE_WORDS | FR_WORDS | EN_WORDS)
+    dic = ", ".join(
+        f"('{w}', {int(w in DE_WORDS)}, {int(w in FR_WORDS)}, {int(w in EN_WORDS)})"
+        for w in vocab
     )
     return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    WITH dic(w, in_de, in_fr, in_en) AS (VALUES {dic}),
+    t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    j AS (
+        SELECT e.doc_id,
+               coalesce(d.in_de, 0) AS in_de,
+               coalesce(d.in_fr, 0) AS in_fr,
+               coalesce(d.in_en, 0) AS in_en
+        FROM ex e LEFT JOIN dic d ON d.w = e.w
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_words,
+               sum(CASE WHEN in_de = 1 AND in_en = 0 THEN 1 ELSE 0 END) AS de_hits,
+               sum(CASE WHEN in_de = 1 AND in_en = 1 THEN 1 ELSE 0 END) AS sh_de,
+               sum(CASE WHEN in_en = 1 AND in_de = 0 THEN 1 ELSE 0 END) AS en_de,
+               sum(CASE WHEN in_fr = 1 AND in_en = 0 THEN 1 ELSE 0 END) AS fr_hits,
+               sum(CASE WHEN in_fr = 1 AND in_en = 1 THEN 1 ELSE 0 END) AS sh_fr,
+               sum(CASE WHEN in_en = 1 AND in_fr = 0 THEN 1 ELSE 0 END) AS en_fr,
+               sum(CASE WHEN in_en = 1 THEN 1 ELSE 0 END) AS en_hits
+        FROM j GROUP BY 1
+    ),
     votes AS (
-        SELECT doc_id, len(toks) AS n_words,
-               {cnt(DE_ONLY)} AS de_hits, {cnt(DE_SHARED)} AS sh_de,
-               {cnt(EN_WORDS - DE_WORDS)} AS en_de,
-               {cnt(FR_ONLY)} AS fr_hits, {cnt(FR_SHARED)} AS sh_fr,
-               {cnt(EN_WORDS - FR_WORDS)} AS en_fr,
-               {cnt(EN_WORDS)} AS en_hits
-        FROM t
+        SELECT t.doc_id,
+               CAST(coalesce(a.n_words, 0) AS int) AS n_words,
+               coalesce(a.de_hits, 0) AS de_hits, coalesce(a.sh_de, 0) AS sh_de,
+               coalesce(a.en_de, 0) AS en_de,
+               coalesce(a.fr_hits, 0) AS fr_hits, coalesce(a.sh_fr, 0) AS sh_fr,
+               coalesce(a.en_fr, 0) AS en_fr,
+               coalesce(a.en_hits, 0) AS en_hits
+        FROM t LEFT JOIN agg a USING (doc_id)
     )
     , flags AS (
         SELECT *,

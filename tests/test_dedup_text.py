@@ -324,6 +324,33 @@ def test_language_id_operator_votes(spark):
     assert got[4] == "en"
 
 
+def test_language_id_noun_phrase_recall(spark):
+    """Zero-function-word noun-phrase titles — the canonical German
+    noun-compound case (and its French twin) that a function-word-only
+    dictionary cannot catch: native votes must come from the content-word
+    inventory (the reference loads full dictionaries, clean.pl:543-623)."""
+    from namedis_spark.operators.textops import language_id
+
+    rows = [
+        (1, "automatische klassifikation relationaler datenbanken"),
+        (2, "modellierung verteilter informationssysteme"),
+        (3, "zuverlaessigkeit paralleler rechnernetze"),
+        (4, "modelisation statistique apprentissage automatique"),
+        (5, "reconnaissance parole traitement signaux numeriques"),
+        (6, "statistical classification of relational databases"),
+        (7, "reliability of parallel computer networks"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[1] == "de"
+    assert got[2] == "de"
+    assert got[3] == "de"
+    assert got[4] == "fr"
+    assert got[5] == "fr"
+    assert got[6] == "en"
+    assert got[7] == "en"
+
+
 def test_venue_normalization(spark):
     from namedis_spark.operators.textops import normalize_venues
 
