@@ -49,14 +49,46 @@ def tokenize_content(text: str | None) -> list[str]:
 # deterministic list). Nouns dominate title text; a few frequent verbs
 # are included.
 IRREGULAR_LEMMAS: dict[str, str] = {
+    # -- irregular noun plurals (native + Latin/Greek, AGID-style public
+    #    inventory; forms whose surface collides with a common technical
+    #    word in the other reading — bit, bound, ground, rose, ellipses —
+    #    are deliberately left OUT) --
     "children": "child", "men": "man", "women": "woman", "feet": "foot",
     "teeth": "tooth", "mice": "mouse", "geese": "goose", "people": "person",
+    "oxen": "ox",
     "analyses": "analysis", "hypotheses": "hypothesis", "theses": "thesis",
     "bases": "basis", "axes": "axis", "crises": "crisis",
+    "emphases": "emphasis", "oases": "oasis", "diagnoses": "diagnosis",
+    "syntheses": "synthesis", "parentheses": "parenthesis",
+    "prognoses": "prognosis", "synopses": "synopsis",
     "indices": "index", "matrices": "matrix", "vertices": "vertex",
+    "vortices": "vortex", "apices": "apex", "codices": "codex",
+    "simplices": "simplex", "appendices": "appendix",
     "criteria": "criterion", "phenomena": "phenomenon",
     "automata": "automaton", "corpora": "corpus", "schemata": "schema",
+    "lemmata": "lemma", "stigmata": "stigma", "errata": "erratum",
+    "addenda": "addendum", "memoranda": "memorandum",
+    "referenda": "referendum", "genera": "genus", "strata": "stratum",
+    "spectra": "spectrum", "maxima": "maximum", "minima": "minimum",
+    "optima": "optimum", "quanta": "quantum", "millennia": "millennium",
+    "symposia": "symposium", "consortia": "consortium",
+    "equilibria": "equilibrium", "continua": "continuum",
+    "curricula": "curriculum", "alumni": "alumnus", "bacteria": "bacterium",
+    "fungi": "fungus", "nuclei": "nucleus", "radii": "radius",
+    "stimuli": "stimulus", "syllabi": "syllabus", "foci": "focus",
+    "loci": "locus", "formulae": "formula", "antennae": "antenna",
+    "larvae": "larva", "cacti": "cactus",
+    "wolves": "wolf", "knives": "knife", "lives": "life",
+    "leaves": "leaf", "halves": "half", "shelves": "shelf",
+    "selves": "self", "wives": "wife", "calves": "calf",
+    "loaves": "loaf", "thieves": "thief", "scarves": "scarf",
     "series": "series", "media": "medium", "data": "data",
+    # -- irregular verb forms (past / participle; ambiguous surfaces like
+    #    saw→see are kept only where the reference-style corpus reading is
+    #    clearly verbal) --
+    "am": "be", "is": "be", "are": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be",
+    "has": "have", "had": "have", "does": "do",
     "taken": "take", "took": "take", "given": "give", "gave": "give",
     "made": "make", "ran": "run", "wrote": "write", "written": "write",
     "found": "find", "built": "build", "brought": "bring",
@@ -65,6 +97,33 @@ IRREGULAR_LEMMAS: dict[str, str] = {
     "said": "say", "got": "get", "held": "hold", "left": "leave",
     "chosen": "choose", "chose": "choose", "driven": "drive",
     "drawn": "draw", "grown": "grow", "known": "know", "shown": "show",
+    "arose": "arise", "arisen": "arise", "became": "become",
+    "began": "begin", "begun": "begin", "bent": "bend", "beaten": "beat",
+    "blew": "blow", "blown": "blow", "broke": "break", "broken": "break",
+    "bred": "breed", "burnt": "burn", "caught": "catch", "came": "come",
+    "crept": "creep", "dealt": "deal", "drew": "draw", "dug": "dig",
+    "drank": "drink", "drunk": "drink", "drove": "drive", "ate": "eat",
+    "eaten": "eat", "fell": "fall", "fallen": "fall", "fed": "feed",
+    "felt": "feel", "fought": "fight", "fled": "flee", "flung": "fling",
+    "flew": "fly", "flown": "fly", "forbidden": "forbid",
+    "forgot": "forget", "forgotten": "forget", "forgave": "forgive",
+    "forgiven": "forgive", "froze": "freeze", "frozen": "freeze",
+    "hung": "hang", "hidden": "hide", "hid": "hide", "kept": "keep",
+    "knew": "know", "laid": "lay", "led": "lead", "lent": "lend",
+    "lain": "lie", "lit": "light", "lost": "lose", "meant": "mean",
+    "met": "meet", "paid": "pay", "proven": "prove", "rode": "ride",
+    "ridden": "ride", "rang": "ring", "rung": "ring", "risen": "rise",
+    "sang": "sing", "sung": "sing", "sank": "sink", "sunk": "sink",
+    "sat": "sit", "slept": "sleep", "slid": "slide", "sold": "sell",
+    "sent": "send", "sought": "seek", "spent": "spend", "spoke": "speak",
+    "spoken": "speak", "sprang": "spring", "sprung": "spring",
+    "stood": "stand", "stole": "steal", "stolen": "steal",
+    "struck": "strike", "swam": "swim", "swum": "swim", "swept": "sweep",
+    "swore": "swear", "sworn": "swear", "taught": "teach", "told": "tell",
+    "torn": "tear", "threw": "throw", "thrown": "throw",
+    "understood": "understand", "undertaken": "undertake",
+    "undertook": "undertake", "woke": "wake", "woken": "wake",
+    "won": "win", "wore": "wear", "worn": "wear",
 }
 
 # Consonant-doubling verb stems (morpha's verbstem behavior): after
@@ -75,6 +134,12 @@ DOUBLING_STEMS: tuple[str, ...] = (
     "map", "plan", "run", "stop", "set", "fit", "get", "put", "cut",
     "log", "tag", "drop", "embed", "wrap", "swap", "split", "ship",
     "trim", "scan", "skip", "flag", "chop", "pin", "sum",
+    "begin", "refer", "occur", "prefer", "infer", "defer", "transfer",
+    "submit", "commit", "omit", "permit", "transmit", "emit", "admit",
+    "format", "forget", "regret", "control", "plot", "slot", "drag",
+    "grab", "grip", "hop", "jog", "nod", "pad", "plug", "pop", "rob",
+    "rub", "shrug", "slam", "slip", "snap", "spin", "star", "step",
+    "stir", "strip", "tap", "tip", "top", "trap", "trip", "zip",
 )
 _DOUBLED_FORMS = frozenset(s + s[-1] for s in DOUBLING_STEMS)
 
@@ -85,6 +150,32 @@ E_RESTORE_STEMS: tuple[str, ...] = (
     "schedul", "pars", "analyz", "optimiz", "cach", "pipelin", "merg",
     "combin", "creat", "generat", "integrat", "iterat", "updat",
     "evaluat", "estimat", "simulat", "measur", "structur", "tun",
+    "mak", "tak", "writ", "driv", "manag", "chang", "charg", "clos",
+    "compar", "compil", "configur", "consum", "continu", "decid",
+    "defin", "deriv", "describ", "determin", "divid", "enabl", "enforc",
+    "ensur", "evolv", "execut", "explor", "fil", "handl", "improv",
+    "includ", "increas", "indicat", "introduc", "invok", "leverag",
+    "localiz", "liv", "lik", "locat", "los", "mov", "nam", "not",
+    "observ", "pag", "phras", "plac", "prepar", "preserv", "produc",
+    "promot", "propos", "prov", "provid", "rais", "rat", "receiv",
+    "reduc", "refin", "relat", "releas", "remov", "renam", "requir",
+    "resolv", "retriev", "reus", "revers", "revis", "rout", "sav",
+    "serv", "shap", "shar", "solv", "squar", "trac", "trad", "typ",
+    "upgrad", "utiliz", "visualiz", "vot", "argu", "captur", "compos",
+    "decreas", "devis", "examin", "exchang", "exclud", "expos",
+    "featur", "fus", "imagin", "judg",
+    "accelerat", "accumulat", "activat", "aggregat",
+    "allocat", "annotat", "approximat", "authenticat", "automat",
+    "calculat", "calibrat", "communicat", "compensat",
+    "concatenat", "coordinat", "correlat", "delegat", "demonstrat",
+    "differentiat", "duplicat", "eliminat", "emulat", "enumerat",
+    "extrapolat", "facilitat", "formulat", "illustrat", "incorporat",
+    "initiat", "instantiat", "interpolat", "investigat", "isolat",
+    "manipulat", "migrat", "mitigat", "mutat", "navigat", "negotiat",
+    "normaliz", "operat", "orchestrat", "participat", "populat",
+    "propagat", "quantiz", "regulat", "replicat", "rotat", "saturat",
+    "separat", "serializ", "terminat", "translat", "truncat", "validat",
+    "vibrat",
 )
 _E_RESTORE = frozenset(E_RESTORE_STEMS)
 
