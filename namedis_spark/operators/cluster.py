@@ -121,6 +121,36 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return pairs.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _is_star(edges: DataFrame) -> bool:
+    """True iff the edge set is a canonical min-rooted star forest — the
+    large-star/small-star fixpoint: every src unique, no node is both a
+    src and a dst, every edge points downward (dst < src). One small
+    aggregation job, used to skip the confirmation round when the edge
+    count has stabilized but the checksum still moved (the final round
+    typically only re-points a few leaves)."""
+    nodes = edges.select(
+        F.col("src").alias("x"),
+        F.lit(1).alias("s"),
+        F.when(F.col("dst") >= F.col("src"), 1).otherwise(0).alias("up"),
+    ).unionAll(
+        edges.select(F.col("dst").alias("x"), F.lit(0).alias("s"), F.lit(0).alias("up"))
+    )
+    bad = (
+        nodes.groupBy("x")
+        .agg(
+            F.sum("s").alias("ns"),
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("up").alias("nu"),
+        )
+        .where(
+            (F.col("ns") > 1)
+            | ((F.col("ns") > 0) & (F.col("nt") > F.col("ns")))
+            | (F.col("nu") > 0)
+        )
+    )
+    return bad.limit(1).count() == 0
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -210,6 +240,13 @@ def connected_components(
                 file=sys.stderr,
             )
         if cur == prev:
+            break
+        if prev is not None and cur[0] == prev[0] and _is_star(e):
+            # count stable + already a canonical star: the next round
+            # would be a no-op confirmation — skip it (one cheap probe
+            # job instead of a full star round)
+            if profile:
+                print(f"# cc.star_fixpoint after round {k}", file=sys.stderr)
             break
         prev = cur
 

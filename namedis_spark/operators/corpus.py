@@ -413,13 +413,6 @@ def prune_evidence_tables_df(
     )
     amb2 = amb.join(focus, "name", "left").withColumn("_oe", oe).persist()
 
-    row = amb2.agg(
-        F.sum("ambig").alias("total"),
-        F.max(F.when(F.col("_focus"), F.col("_oe"))).alias("oe_f"),
-    ).collect()[0]
-    total = float(row["total"] or 0.0)
-    oe_f = row["oe_f"]
-
     # persisted: the coauthor aggregation (a corpus-sized pair explode)
     # feeds two actions — the m_f aggregate and the survivor collect —
     # and must run once
@@ -428,9 +421,28 @@ def prune_evidence_tables_df(
         .join(amb2.select("name", "_oe"), "name", "left")
         .persist()
     )
-    m_f_row = cn2.agg(
-        F.max(F.when(F.col("_focus"), F.col("n_coauthors"))).alias("m_f")
-    ).collect()[0]
+
+    # The four driver actions here are a FIXED serial cost per run (they
+    # do not shrink with more executors — measured ~16s of the Amdahl
+    # floor at 16 cores): run the two independent aggregates, then the two
+    # independent survivor collects, concurrently from driver threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_amb = ex.submit(
+            lambda: amb2.agg(
+                F.sum("ambig").alias("total"),
+                F.max(F.when(F.col("_focus"), F.col("_oe"))).alias("oe_f"),
+            ).collect()[0]
+        )
+        f_mf = ex.submit(
+            lambda: cn2.agg(
+                F.max(F.when(F.col("_focus"), F.col("n_coauthors"))).alias("m_f")
+            ).collect()[0]
+        )
+        row, m_f_row = f_amb.result(), f_mf.result()
+    total = float(row["total"] or 0.0)
+    oe_f = row["oe_f"]
 
     if oe_f is None:  # degenerate corpus: keep everything
         amb_sig = cnt_sig = 0.0
@@ -442,20 +454,24 @@ def prune_evidence_tables_df(
         amb_sig = safety * eps2total / (m_f + 1.0)
         cnt_sig = safety * eps2total / oe_f if oe_f else 0.0
 
-    amb_rows = (
-        amb2.where(F.coalesce(F.col("_focus"), F.lit(False)) | (F.col("_oe") > amb_sig))
-        .select("name", "ambig")
-        .collect()
-    )
-    cn_rows = (
-        cn2.where(
-            F.coalesce(F.col("_focus"), F.lit(False))
-            | (F.col("n_coauthors") + 1.0 > cnt_sig)
-            | (F.coalesce(F.col("_oe"), F.lit(0.0)) > amb_sig)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_ar = ex.submit(
+            lambda: amb2.where(
+                F.coalesce(F.col("_focus"), F.lit(False)) | (F.col("_oe") > amb_sig)
+            )
+            .select("name", "ambig")
+            .collect()
         )
-        .select("name", "n_coauthors")
-        .collect()
-    )
+        f_cr = ex.submit(
+            lambda: cn2.where(
+                F.coalesce(F.col("_focus"), F.lit(False))
+                | (F.col("n_coauthors") + 1.0 > cnt_sig)
+                | (F.coalesce(F.col("_oe"), F.lit(0.0)) > amb_sig)
+            )
+            .select("name", "n_coauthors")
+            .collect()
+        )
+        amb_rows, cn_rows = f_ar.result(), f_cr.result()
     amb2.unpersist()
     cn2.unpersist()
     ambig = {r["name"]: float(r["ambig"]) for r in amb_rows}

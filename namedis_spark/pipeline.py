@@ -106,33 +106,51 @@ def run(
     # (author, conv) participation pairs feed the ambiguity name table
     hits = corpus.conv_author_hits(features).persist()
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
-        f_pairs = ex.submit(lambda: pairs.count() if pairs is not None else 0)
+    def timed(tag, fn):
+        if not profile:
+            return fn
+        def wrapped():
+            t0 = time.time()
+            out = fn()
+            print(f"# side.{tag}: {time.time() - t0:.2f}s", file=sys.stderr)
+            return out
+        return wrapped
+
+    # the coauthor aggregation (corpus-sized pair explode) is the heaviest
+    # input of the prune step; materialize it CONCURRENTLY with the
+    # ambiguity fixed-point loop so it is cache-warm when the prune's
+    # significance filter needs it (it otherwise computes serially after
+    # the loop — a measured chunk of the Amdahl floor)
+    cn = corpus.coauthor_stats(features).persist()
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        f_cn = ex.submit(timed("coauthor_stats", lambda: cn.count()))
+        f_pairs = ex.submit(timed("pairs", lambda: pairs.count() if pairs is not None else 0))
         # distributed ambiguity fixed point + distributed significance
         # pruning: the driver receives only the pruned dicts that will be
         # broadcast — the corpus-sized name/coauthor tables never ride a
         # toPandas through the (constant-sized) driver
-        f_side = ex.submit(
-            lambda: corpus.prune_evidence_tables_df(
+        f_side = ex.submit(timed("ambiguity_prune", lambda: corpus.prune_evidence_tables_df(
                 corpus.key_ambiguity(features, rounds=ambiguity_rounds, hits=hits),
-                corpus.coauthor_stats(features),
+                cn,
                 sizes.select("block_key"),
                 params.error_tolerance,
-            )
-        )
+            )))
         f_n = ex.submit(
-            lambda: sizes.agg(F.sum("n").alias("n")).collect()[0]["n"]
+            timed("n_convs", lambda: sizes.agg(F.sum("n").alias("n")).collect()[0]["n"])
         )
         # idf + IC derive from ONE explode+groupBy scan (vocab-sized collect)
-        f_terms = ex.submit(lambda: corpus.term_stats_rows(features))
-        f_ts = ex.submit(lambda: corpus.tool_simi(features).collect())
-        f_np = ex.submit(lambda: corpus.name_part_logprobs(features))
+        f_terms = ex.submit(timed("term_stats", lambda: corpus.term_stats_rows(features)))
+        f_ts = ex.submit(timed("tool_simi", lambda: corpus.tool_simi(features).collect()))
+        f_np = ex.submit(timed("name_parts", lambda: corpus.name_part_logprobs(features)))
         pruned, n_convs, term_rows, ts_rows = (
             f_side.result(), f_n.result(), f_terms.result(), f_ts.result(),
         )
         name_part_lps = f_np.result()
         f_pairs.result()
+        f_cn.result()
     hits.unpersist()
+    cn.unpersist()
 
     from namedis_spark.operators.scoring import SideTables
 
