@@ -110,6 +110,40 @@ def main() -> None:
     turns_per_sec = round(n_turns / pipe_dt, 1)
     shutil.rmtree(ckpt, ignore_errors=True)
 
+    # streaming incremental linkage (applyInPandasWithState keyed on the
+    # blocking key): features written as parquet drops, consumed in
+    # micro-batches (maxFilesPerTrigger=4), stateful per-block assignment
+    import pyspark.sql.functions as F
+
+    from namedis_spark.operators.features import conversation_features
+    from namedis_spark.streaming.linkage import start_incremental_linkage
+
+    sdir = tempfile.mkdtemp(prefix="bench_stream_")
+    src, sink, sckpt = f"{sdir}/src", f"{sdir}/sink", f"{sdir}/ckpt"
+    feats = conversation_features(t)
+    feats.repartition(16).write.parquet(src)
+    t0 = time.time()
+    q = start_incremental_linkage(spark, src, sink, sckpt, available_now=True)
+    q.awaitTermination()
+    dt = round(time.time() - t0, 3)
+    timings["streaming_linkage"] = dt
+    total += dt
+    out = spark.read.parquet(sink)
+    n_assigned = out.count()
+    st = (
+        out.groupBy("block_key")
+        .agg(F.countDistinct("cluster_id").alias("c"))
+        .agg(F.max("c").alias("mx"), F.round(F.avg("c"), 1).alias("mean"))
+        .collect()[0]
+    )
+    print(
+        f"# streaming_linkage: {n_assigned} convs in {dt}s"
+        f" ({n_assigned / dt:.0f} convs/s; clusters/block"
+        f" max {st['mx']} mean {st['mean']})",
+        file=sys.stderr,
+    )
+    shutil.rmtree(sdir, ignore_errors=True)
+
     print(
         json.dumps(
             {

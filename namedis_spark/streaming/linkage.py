@@ -71,29 +71,48 @@ def _assign_block(
         clusters = {}
 
     rows = []
+    # inverted index coauthor → cluster ids, rebuilt from state once per
+    # micro-batch: candidate generation is O(|coauthors| + hits) per
+    # conversation instead of a scan over every cluster in the block (the
+    # hot-block scale path). The index is append-only (rep caps can drop
+    # members, leaving stale entries), so it only PROPOSES candidates —
+    # the exact shared count is re-verified against the live rep set.
+    inv: dict[str, list[str]] = {}
+    for cid, rep in clusters.items():
+        for a in rep:
+            inv.setdefault(a, []).append(cid)
+
     # the runtime may deliver a group as SEVERAL Arrow chunks — canonical
     # arrival order needs one sort over the whole micro-batch group
     whole = pd.concat(list(pdfs), ignore_index=True)
     if len(whole):
-        for _, r in whole.sort_values("conv_id").iterrows():
-            raw = r["coauthors"]  # numpy array via Arrow — no truthiness
+        whole = whole.sort_values("conv_id")
+        for conv_id, raw in zip(
+            whole["conv_id"].tolist(), whole["coauthors"].tolist()
+        ):
             co = set() if raw is None else set(raw)
+            cand: set[str] = set()
+            for a in co:
+                cand.update(inv.get(a, ()))
             best_id, best_shared = None, 0
-            for cid, rep in clusters.items():
-                shared = len(co.intersection(rep))
-                if shared >= MIN_SHARED and (
-                    shared > best_shared
-                    or (shared == best_shared and (best_id is None or cid < best_id))
-                ):
+            for cid in sorted(cand):
+                shared = len(co.intersection(clusters[cid]))
+                if shared >= MIN_SHARED and shared > best_shared:
                     best_id, best_shared = cid, shared
             if best_id is None:
-                best_id, best_shared = r["conv_id"], 0
+                best_id, best_shared = conv_id, 0
                 if len(clusters) < MAX_CLUSTERS_PER_BLOCK:
                     clusters[best_id] = sorted(co)[:MAX_REP_COAUTHORS]
+                    for a in clusters[best_id]:
+                        inv.setdefault(a, []).append(best_id)
             else:
-                rep = set(clusters[best_id]) | co
-                clusters[best_id] = sorted(rep)[:MAX_REP_COAUTHORS]
-            rows.append((key[0], r["conv_id"], best_id, best_shared))
+                old = set(clusters[best_id])
+                rep = sorted(old | co)[:MAX_REP_COAUTHORS]
+                clusters[best_id] = rep
+                for a in rep:
+                    if a not in old:
+                        inv.setdefault(a, []).append(best_id)
+            rows.append((key[0], conv_id, best_id, best_shared))
 
     state.update((json.dumps(clusters, sort_keys=True),))
     yield pd.DataFrame(rows, columns=["block_key", "conv_id", "cluster_id", "n_shared"])
