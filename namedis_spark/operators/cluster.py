@@ -241,10 +241,11 @@ def connected_components(
             )
         if cur == prev:
             break
-        if prev is not None and cur[0] == prev[0] and _is_star(e):
-            # count stable + already a canonical star: the next round
-            # would be a no-op confirmation — skip it (one cheap probe
-            # job instead of a full star round)
+        if _is_star(e):
+            # already a canonical star forest: the next round would be a
+            # no-op confirmation — skip it (the probe is one cheap
+            # aggregation, ~1/3 of a star round, and fires on the final
+            # round of every converging run)
             if profile:
                 print(f"# cc.star_fixpoint after round {k}", file=sys.stderr)
             break
