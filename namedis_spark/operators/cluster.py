@@ -158,6 +158,7 @@ def connected_components(
     name: str = "cc",
     max_rounds: int = 50,
     resume: bool = False,
+    probe_fixpoint: bool = True,
 ) -> DataFrame:
     """edges(src, dst) → assignment (node, cluster_id) where cluster_id is
     the component's minimum node id.
@@ -241,7 +242,7 @@ def connected_components(
             )
         if cur == prev:
             break
-        if _is_star(e):
+        if probe_fixpoint and _is_star(e):
             # already a canonical star forest: the next round would be a
             # no-op confirmation — skip it (the probe is one cheap
             # aggregation, ~1/3 of a star round, and fires on the final

@@ -52,9 +52,13 @@ def test_cc_checkpoint_resume_identical(spark, tmp_path):
 
     full_dir = str(tmp_path / "full")
     store = CheckpointStore(spark, full_dir)
+    # probe_fixpoint off: the probe converges this small graph in one
+    # committed round, and the kill-after-round-k scenario needs several
     full = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(spark, df, store=store, name="cc").collect()
+        for r in connected_components(
+            spark, df, store=store, name="cc", probe_fixpoint=False
+        ).collect()
     }
     rounds = store.complete_rounds("cc")
     assert len(rounds) >= 2, "expected a multi-round run"
