@@ -291,3 +291,143 @@ def lsh_ann_pairs(
         .distinct()
     )
     return exact_cosine(pairs, embeddings).where(F.col("cosine") >= min_cosine)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path that complements
+# hyperplane LSH: a small spherical k-means codebook partitions the corpus
+# into cells; a query exactly scores only the vectors in its n_probe nearest
+# cells. Candidate volume per query ≈ n_probe · n / n_cells regardless of
+# the data's bucket-collision structure (LSH's weakness on anisotropic
+# corpora). The codebook is tiny (n_cells × dim doubles) and rides the plan
+# as a literal expression — assignment is a pure per-row projection, no
+# broadcast join, no shuffle until the per-cell candidate equi-join.
+# ---------------------------------------------------------------------------
+
+IVF_N_CELLS = 64
+IVF_N_PROBE = 4
+IVF_TRAIN_ITERS = 2
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec] if n > 0 else list(vec)
+
+
+def _cents_sql(cents: list[list[float]]) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}d" for x in c) + ")" for c in cents
+        )
+        + ")"
+    )
+
+
+def _scores_sql(cents: list[list[float]], emb: str = "embedding") -> str:
+    """Per-cell dot products of the (unnormalized) embedding against the
+    unit-norm codebook — argmax over them is the spherical-k-means cell
+    (scaling by 1/|e| does not change the argmax)."""
+    e = f"transform({emb}, x -> cast(x as double))"
+    return (
+        f"transform({_cents_sql(cents)},"
+        f" c -> aggregate(zip_with({e}, c, (x, y) -> x * y), 0d, (acc, x) -> acc + x))"
+    )
+
+
+def ivf_cell_expr(cents: list[list[float]], emb: str = "embedding") -> str:
+    """SQL: 0-based index of the nearest codebook cell (first-occurrence
+    tie-break — deterministic)."""
+    s = _scores_sql(cents, emb)
+    return f"cast(array_position({s}, array_max({s})) - 1 as int)"
+
+
+def ivf_probe_expr(
+    cents: list[list[float]], n_probe: int, emb: str = "embedding"
+) -> str:
+    """SQL: array of the n_probe nearest cell indices, by descending score
+    with index tie-break (array_sort on (-score, idx) structs)."""
+    s = _scores_sql(cents, emb)
+    ranked = (
+        f"array_sort(zip_with({s}, sequence(0, {len(cents) - 1}),"
+        f" (sc, i) -> struct(-sc as ns, i as i)))"
+    )
+    return f"transform(slice({ranked}, 1, {n_probe}), x -> cast(x.i as int))"
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = IVF_N_CELLS,
+    iters: int = IVF_TRAIN_ITERS,
+) -> list[list[float]]:
+    """Deterministic spherical k-means codebook.
+
+    Init: the n_cells corpus vectors with the smallest md5(vec_id) —
+    order-independent, seedless, and spread by the hash. Each Lloyd
+    iteration is one distributed pass: per-row cell assignment (literal
+    codebook projection) → posexplode → per-(cell, dim) mean — then the
+    (n_cells × dim)-sized result is collected and re-normalized on the
+    driver. Empty cells keep their previous centroid. Cost: `iters`
+    shuffles of n·dim skinny rows; the collect is codebook-sized, never
+    corpus-sized."""
+    seed_rows = (
+        embeddings.select("vec_id", _as_double().alias("e"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [_normalize([float(x) for x in r["e"]]) for r in seed_rows]
+    for _ in range(iters):
+        cell = F.expr(ivf_cell_expr(cents))
+        sums = (
+            embeddings.select(cell.alias("cell"), F.posexplode(_as_double()))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        dim = len(cents[0])
+        new = [list(c) for c in cents]  # empty cells keep previous centroid
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cell"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
+        for c, vec in acc.items():
+            new[c] = _normalize(vec)
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = IVF_N_CELLS,
+    n_probe: int = IVF_N_PROBE,
+    iters: int = IVF_TRAIN_ITERS,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: corpus assigned to its nearest cell, each query
+    probes its n_probe nearest cells; only probed-cell candidates are
+    exactly scored and window-ranked. Pass a pre-trained ``cents`` to
+    amortize the codebook across calls (index-build vs query split)."""
+    if cents is None:
+        cents = ivf_train(embeddings, n_cells=n_cells, iters=iters)
+    corpus = embeddings.select(
+        F.expr(ivf_cell_expr(cents)).alias("cell"), F.col("vec_id").alias("cand_id")
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr(ivf_probe_expr(cents, n_probe))).alias("cell"),
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = exact_cosine(cand, embeddings, "query_id", "cand_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )

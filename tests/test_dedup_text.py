@@ -199,6 +199,35 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb100):
         assert rank1[2 * k] == 2 * k + 1  # planted neighbor leads
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, emb100):
+    """IVF coarse-quantizer top-k: >=0.8 recall@5 vs the exact baseline,
+    planted nearest neighbor at rank 1 (deterministic codebook: md5-seeded
+    init + fixed Lloyd iterations => not flaky)."""
+    from namedis_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    qs = emb100.where("vec_id < 20")
+    exact = brute_force_topk(emb100, qs, k=5).collect()
+    approx = ivf_topk(emb100, qs, k=5, n_cells=16, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall@5 = {recall:.2f}"
+    rank1 = {r["query_id"]: r["cand_id"] for r in approx if r["rk"] == 1}
+    for k in range(10):
+        assert rank1[2 * k] == 2 * k + 1  # planted neighbor leads
+
+
+def test_ivf_train_deterministic_codebook(spark, emb100):
+    from namedis_spark.operators.similarity import ivf_train
+
+    a = ivf_train(emb100, n_cells=8, iters=2)
+    b = ivf_train(emb100, n_cells=8, iters=2)
+    assert a == b
+    # unit-norm centroids
+    for c in a:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
 def test_dedup_ann_plans_have_no_quadratic_joins(spark, emb100, docs):
     """Scale discipline: the registered dedup/ANN paths must contain no
     CartesianProduct / BroadcastNestedLoopJoin anywhere in their plans."""
