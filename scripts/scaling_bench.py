@@ -50,7 +50,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DRIVER_CORES = 2
 CORES_PER_EXEC = 4
-EXEC_MEM_MB = 6144
+# Per-executor memory is CONSTANT across levels (a real scale-out adds
+# executors of the same shape, so total memory grows with the fleet).
+# 16g headroom: the 1-executor level must hold the cached feature +
+# evidence-pair working set alone — 6g fell over past ~50M turns.
+EXEC_MEM_MB = 16384
 
 _RUNNER = r"""
 import json, sys, time, tempfile
