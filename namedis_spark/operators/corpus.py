@@ -259,31 +259,33 @@ def key_ambiguity(
         if prev_total is not None and abs(total - prev_total) < AMBIG_CONVERGE_ABS:
             break
         prev_total = total
-        # window sums instead of groupBy + join back: the part-probability
-        # masses are per-partition-key sums over the SAME table, so a
-        # partitionBy window computes them with two shuffles and no join
-        # exchanges (the join form added per-round driver round-trips when
-        # AQE chose broadcast, and extra stages when it did not — measured
-        # as per-round latency in the scaling floor)
-        from pyspark.sql import Window as _W
-
-        s_sum = F.sum("ambig").over(_W.partitionBy("surname"))
-        g_sum = F.sum("ambig").over(_W.partitionBy("givenname"))
-        ambig = ambig.select(
-            "name",
-            "occurrence",
-            F.least(
-                F.col("occurrence").cast("double"),
-                F.greatest(
-                    F.col("ambig"),
-                    F.round(
-                        (s_sum / total) * (g_sum / total) * AMBIG_ITER_SCALE * total,
-                        6,
+        # groupBy + join back, NOT window sums: surnames are hot keys
+        # (hundreds of distinct values over millions of names), and a
+        # partitionBy window shuffles every row to its surname's task with
+        # no map-side combine — measured 4-executor regression when tried.
+        # The hash aggregate pre-combines per input partition, so the
+        # probability tables shuffle only (#part values × #partitions)
+        # rows. No broadcast hint: the part tables can approach the name
+        # table in size (near-unique given names) — AQE picks broadcast
+        # itself when a side is actually small.
+        s_prob = ambig.groupBy("surname").agg((F.sum("ambig") / total).alias("p_s"))
+        g_prob = ambig.groupBy("givenname").agg((F.sum("ambig") / total).alias("p_g"))
+        ambig = (
+            ambig.join(s_prob, "surname")
+            .join(g_prob, "givenname")
+            .withColumn(
+                "ambig",
+                F.least(
+                    F.col("occurrence").cast("double"),
+                    F.greatest(
+                        F.col("ambig"),
+                        F.round(
+                            F.col("p_s") * F.col("p_g") * AMBIG_ITER_SCALE * total, 6
+                        ),
                     ),
                 ),
-            ).alias("ambig"),
-            "surname",
-            "givenname",
+            )
+            .select("name", "occurrence", "ambig", "surname", "givenname")
         )
     return ambig.select("name", "occurrence", F.round("ambig", 6).alias("ambig"))
 
