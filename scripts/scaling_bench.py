@@ -75,6 +75,14 @@ spark = get_spark(
     extra_conf={{
         "spark.executor.memory": "{mem}m",
         "spark.driver.memory": "8g",
+        # multi-executor levels only: tasks over cached feature blocks
+        # prefer their block's executor and by default wait 3s for a slot
+        # there before running elsewhere — with 4 JVMs that idles whole
+        # executors behind hot ones. Loopback "remote" reads are nearly
+        # free here (and cheap on any modern cluster fabric), so schedule
+        # immediately; fetch buffer sized up to cut fetch round trips.
+        "spark.locality.wait": "0s",
+        "spark.reducer.maxSizeInFlight": "96m",
     }},
 )
 
