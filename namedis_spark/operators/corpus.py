@@ -431,6 +431,12 @@ def prune_evidence_tables_df(
     # do not shrink with more executors — measured ~16s of the Amdahl
     # floor at 16 cores): run the two independent aggregates, then the two
     # independent survivor collects, concurrently from driver threads.
+    # amb2 is materialized FIRST: cn2's lineage joins amb2, so submitting
+    # both aggregates against a cold cache makes the concurrent jobs each
+    # compute amb2's partitions before any are cached — duplicating the
+    # corpus-sized work the persist exists to share.
+    amb2.count()
+
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as ex:

@@ -408,7 +408,12 @@ def ivf_topk(
     """IVF ANN top-k: corpus assigned to its nearest cell, each query
     probes its n_probe nearest cells; only probed-cell candidates are
     exactly scored and window-ranked. Pass a pre-trained ``cents`` to
-    amortize the codebook across calls (index-build vs query split)."""
+    amortize the codebook across calls (index-build vs query split).
+
+    The query side's embedding is joined from ``queries`` itself, so a
+    query set disjoint from the corpus works (unlike an in-corpus-only
+    contract, which would silently return zero rows for external
+    queries)."""
     if cents is None:
         cents = ivf_train(embeddings, n_cells=n_cells, iters=iters)
     corpus = embeddings.select(
@@ -424,7 +429,17 @@ def ivf_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
-    scored = exact_cosine(cand, embeddings, "query_id", "cand_id")
+    qs = _with_norm(queries, "query_id", "e1", "n1")
+    cs = _with_norm(embeddings, "cand_id", "e2", "n2")
+    scored = (
+        cand.join(qs, "query_id")
+        .join(cs, "cand_id")
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_DOT.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2")), 6),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))

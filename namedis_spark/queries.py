@@ -111,41 +111,64 @@ def clear_feature_cache() -> None:
     release_all()
 
 
-def _assert_golden(df: DataFrame, name: str, sf_dir: str, tol: float = 1e-6) -> DataFrame:
+def _assert_golden(
+    df: DataFrame,
+    name: str,
+    sf_dir: str,
+    tol: float = 1e-6,
+    goldens_dir: str | None = None,
+) -> DataFrame:
     """Join-assert a non-SQL-expressible query against its committed golden
     (goldens/{name}_{sfbase}.csv) when one exists for this input dir: any
     value drift raises, turning the driver's rows-only check into a value
     check. Silently skipped when no golden is committed (other SFs, bench
     runs), so the assertion costs nothing outside verification. The compare
     is driver-side over the small verification output; regenerate with
-    scripts/regen_goldens.py after an intentional scoring change."""
+    scripts/regen_goldens.py after an intentional scoring change.
+
+    Dtype resolution is JOINT per column: if either side is float the pair
+    is compared as float64 under ``tol`` (a golden CSV whose float column
+    happens to parse as int64 no longer breaks the compare), otherwise both
+    sides compare as strings. Rows sort by the exact (string) columns first
+    so tying rounded floats cannot misalign rows. ``goldens_dir`` overrides
+    the committed goldens directory (used by the corruption test)."""
     import os
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    gpath = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "goldens", f"{name}_{base}.csv"
-    )
+    if goldens_dir is None:
+        goldens_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+    gpath = os.path.join(goldens_dir, f"{name}_{base}.csv")
     if not os.path.exists(gpath):
         return df
     import pandas as pd
 
-    def norm(p):
-        p = p[sorted(p.columns)].copy()
-        for c in p.columns:
-            if str(p[c].dtype).startswith("float"):
-                p[c] = p[c].round(6)
-            else:
-                p[c] = p[c].astype(str)
-        return p.sort_values(list(p.columns)).reset_index(drop=True)
-
-    g, x = norm(df.toPandas()), norm(pd.read_csv(gpath))
+    g = df.toPandas()
+    x = pd.read_csv(gpath)
     if len(g) != len(x):
         raise AssertionError(f"{name}: {len(g)} rows vs golden {len(x)}")
-    if list(g.columns) != list(x.columns):
-        raise AssertionError(f"{name}: columns {list(g.columns)} vs golden {list(x.columns)}")
+    if sorted(g.columns) != sorted(x.columns):
+        raise AssertionError(
+            f"{name}: columns {sorted(g.columns)} vs golden {sorted(x.columns)}"
+        )
+    g = g[sorted(g.columns)].copy()
+    x = x[sorted(x.columns)].copy()
+    float_cols, exact_cols = [], []
     for c in g.columns:
-        if str(g[c].dtype).startswith("float"):
-            bad = (g[c] - x[c]).abs() > tol
+        if g[c].dtype.kind == "f" or x[c].dtype.kind == "f":
+            g[c] = pd.to_numeric(g[c]).astype("float64").round(6)
+            x[c] = pd.to_numeric(x[c]).astype("float64").round(6)
+            float_cols.append(c)
+        else:
+            g[c] = g[c].astype(str)
+            x[c] = x[c].astype(str)
+            exact_cols.append(c)
+    order = exact_cols + float_cols
+    g = g.sort_values(order).reset_index(drop=True)
+    x = x.sort_values(order).reset_index(drop=True)
+    for c in g.columns:
+        if c in float_cols:
+            # ~(diff<=tol) flags NaN-vs-value; both-NaN is then unflagged.
+            bad = ~((g[c] - x[c]).abs() <= tol) & ~(g[c].isna() & x[c].isna())
         else:
             bad = g[c] != x[c]
         if bad.any():
@@ -1939,7 +1962,10 @@ def _language_id_oracle() -> str:
                 AND (fr_hits * 3 >= en_fr OR sh_fr >= en_fr)) AS is_fr
         FROM votes
     )
-    SELECT doc_id, n_words, de_hits, fr_hits, en_hits,
+    SELECT doc_id, n_words,
+           CAST(de_hits AS bigint) AS de_hits,
+           CAST(fr_hits AS bigint) AS fr_hits,
+           CAST(en_hits AS bigint) AS en_hits,
            CASE WHEN is_de AND (NOT is_fr OR de_hits >= fr_hits) THEN 'de'
                 WHEN is_fr THEN 'fr'
                 ELSE 'en' END AS lang_pred
@@ -2306,6 +2332,102 @@ def ann_lsh_topk(spark, sf_dir):
         k=_ANN_K,
         n_tables=_ANN_LSH_TABLES,
         n_planes=_ANN_LSH_PLANES,
+    )
+
+
+_IVF_Q_CELLS = 8
+_IVF_Q_PROBE = 2
+_IVF_DIM = 64
+
+
+def _ivf_codebook() -> list[list[float]]:
+    """Fixed deterministic codebook for the registered IVF query: dyadic
+    values (k/16) so every literal is exact in both binary and decimal —
+    the Spark projection and the DuckDB oracle see bit-identical doubles.
+    The *trained* (spherical k-means) codebook path is exercised by
+    tests/test_dedup_text.py recall/determinism tests; the correctness
+    gate replays the assignment + probe + verify machinery, which is
+    codebook-agnostic."""
+    import random
+
+    r = random.Random(1234)
+    return [
+        [r.randrange(-16, 17) / 16.0 for _ in range(_IVF_DIM)]
+        for _ in range(_IVF_Q_CELLS)
+    ]
+
+
+def _ivf_topk_oracle() -> str:
+    cents = _ivf_codebook()
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    # dot = strict left fold over i, matching Spark's
+    # aggregate(zip_with(...), 0d, +) element order bit-for-bit.
+    dot = (
+        "list_reduce(list_transform(range(0, len(v.e)),"
+        " i -> v.e[i + 1] * c.c[i + 1]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH cents(cidx, c) AS (VALUES {vals}),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e
+        FROM embeddings
+    ),
+    scores AS (
+        SELECT v.vec_id, c.cidx, {dot} AS dot
+        FROM v CROSS JOIN cents c
+    ),
+    asn AS (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cidx ASC) AS rk
+        FROM scores
+    ),
+    corpus AS (SELECT vec_id AS cand_id, cidx AS cell FROM asn WHERE rk = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cidx AS cell
+        FROM asn WHERE vec_id < 10 AND rk <= {_IVF_Q_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, c.cand_id
+        FROM probes p JOIN corpus c USING (cell)
+        WHERE p.query_id <> c.cand_id
+    ),
+    {_DUCK_EMB_NORMS},
+    scored AS (
+        SELECT cd.query_id, cd.cand_id, {_DUCK_PAIR_COSINE} AS cosine
+        FROM cand cd
+        JOIN wn a ON a.vec_id = cd.query_id
+        JOIN wn b ON b.vec_id = cd.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rk AS int) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {_ANN_K}
+    """
+
+
+@q("ivf_topk", _ivf_topk_oracle())
+def ivf_topk_q(spark, sf_dir):
+    """IVF ANN top-k (queries = vec_id < 10): per-row nearest-cell
+    assignment against a literal codebook (pure projection, no shuffle),
+    n_probe-cell probing, candidate equi-join on cell, exact cosine +
+    window rank. Registered with a fixed dyadic codebook so the DuckDB
+    oracle replays the assignment bit-identically; the trained-codebook
+    path (ivf_train) is covered by recall/determinism tests."""
+    from namedis_spark.operators.similarity import ivf_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=_ANN_K,
+        n_probe=_IVF_Q_PROBE,
+        cents=_ivf_codebook(),
     )
 
 

@@ -22,15 +22,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def value_hash(df: pd.DataFrame) -> int:
+    """Order-insensitive value hash, DTYPE-STRICT: the dtype *kind* of
+    every column (int vs float vs bool vs object) is hashed alongside the
+    values, so an oracle that returns float64 where Spark returns bigint
+    fails here the same way it fails the driver (round-3 lesson:
+    `language_id` passed a dtype-insensitive local replay but failed the
+    driver's stricter hash on exactly that difference)."""
     df = df[sorted(df.columns)].copy()
+    kinds = []
     for c in df.columns:
         col = df[c]
+        kinds.append(col.dtype.kind)
         if col.dtype == object:
             df[c] = col.astype(str)
         elif str(col.dtype).startswith("float"):
             df[c] = col.round(6)
     rows = sorted(map(tuple, df.itertuples(index=False, name=None)))
-    return hash(tuple(rows))
+    return hash((tuple(kinds), tuple(rows)))
 
 
 def main() -> None:
