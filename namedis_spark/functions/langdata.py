@@ -1,13 +1,18 @@
 """Compact public wordlists for the dictionary-vote language filter.
 
-The reference loads full German/French/English dictionaries plus loan-word
-lists (``loadVocab``, clean.pl:543-623) from its ``dic/`` directory. For a
-title/transcript-scale filter a compact function-word + common-word
-inventory carries virtually all of the vote's signal (function words
-dominate every natural-language text), so the lists below are embedded:
-~100 words per language of standard public function/common words, plus a
-small English loan-phrase list whose lead words collide with French/German
-function words — the case ``matchPhrase`` (clean.pl:680-702) exists for.
+The reference loads German/French/English dictionaries plus loan-word
+lists (``loadVocab``, clean.pl:543-623) from its ``dic/`` directory
+(german.dic 276 words, french-all.dic 874, english-all.dic ~4.2k). The
+lists below are independently assembled standard function/common-word
+inventories at the same order of magnitude (DE ≳ 600, FR ≳ 800,
+EN ≳ 1.7k after the shared-word fold) — function words dominate every
+natural-language text, so this carries the vote's signal. Words that are
+native in BOTH English and German/French (table, train, hand, figure, …)
+appear in both lists and therefore count as *shared* votes, the same
+mechanism as the reference's ``sharedwords.txt``. A small English
+loan-phrase list covers phrases whose lead words collide with
+French/German function words — the case ``matchPhrase``
+(clean.pl:680-702) exists for.
 
 Flag bits follow the reference (clean.pl constants): a word can be NATIVE
 in a language, a LOANWORD in English (part of an adopted phrase), and a
@@ -111,6 +116,102 @@ EN_WORDS: frozenset[str] = frozenset(
     update upper usage validation value values variable variables
     verification version virtual vision visual visualization weighted
     wireless workshop
+    act actions add added addition additional address advance advantage
+    age agree ahead air allow allowed almost alone already although
+    always amount anyone anything appear applied apply approaches
+    argument arm arms art ask asked available average avoid away back
+    bad balance base basic basis become becomes becoming begin
+    beginning behind believe benefit benefits best big bit black blue
+    board body book books bottom box break bring broad brought build
+    built business call called calls came capacity card care carried
+    carry cases cause causes center central certainly chain chance
+    changed changes chart chat check choice choose chosen circle cite
+    cited city claim clear clearly close closed closer com come comes
+    coming common commonly company compare compared complete completely
+    compute computing concern condition connected connection consider
+    considered consists contain contains content contents contrast
+    copy core correct corresponding count course court cover covered
+    create created cut date day days deal decide decided deep define
+    defined degree demand depend depends derive derived describe
+    described despite detail detailed details determine determined
+    develop developed difference differences difficult direct directly
+    discuss discussed done double draw drawn due early easily easy
+    edge edges effort either element elements else end ends enough
+    ensure entire entirely equal equation especially essential
+    establish established even evenly ever every everything exactly
+    except exist existing exists expect expected explain explained
+    express expressed extra face fact factor factors fail fall falls
+    far fear fee feed feel fewer figure figures file files final
+    finally find fit five fixed focus follow followed following force
+    forces form formed forms forward four free front full fully gain
+    game games gap gave generally generate generated getting give
+    gives giving go goal goes going gone got green ground group
+    grouped groups grow growing growth hand handle hands happen
+    happens hard having head heavy held help helps hence higher
+    highest highly hold holds home hope hour hours house however huge
+    human idea ideas identify identity ignore immediately importance
+    important improve include included includes including increase
+    increased increasing indeed independent indicate indicates
+    individual initial instead interest interesting involve involved
+    item items itself job join joined keep keeping keeps kept kind
+    kinds know known lack land language larger largest later lead
+    leading leads learn learned least leave led left length let
+    letter letters life light likely limit limits list listed lists
+    literature little live lives long longer look looked looking
+    loss lost lot lower main mainly maintain major majority makes
+    making manner map maps mark market material materials matter
+    mean meaning means meant measured meet member members mention
+    mentioned method middle mind minimum minor minute minutes miss
+    missing mode moment money month months moreover morning move
+    moved moves moving name named names namely natural naturally
+    nature near nearly necessary need needed needs neither net
+    nevertheless night nine normal normally note noted notes nothing
+    notice number numbers object objective observe observed obtain
+    obtained obviously occur occurs offer offered offers office often
+    old older ones open opened opening operate option options orange
+    organization original originally otherwise outcome output outside
+    overall pain pair pairs part partial particular particularly
+    parts party pass passed past path paths pay people perhaps period
+    person physical pick piece pieces place placed places plan plane
+    plans play played point pointed police policy poor popular
+    position positions positive possibly potential practically
+    predict present presented presents press pressure pretty previous
+    previously primary prior private probably produce produced
+    product production products proper properly propose proposed
+    prove proved provide provided provides providing public published
+    purpose put quarter quite range rates reach reached read reading
+    ready reason reasons receive received recent recently record
+    records red reduce reduced refer reference references referred
+    regard regarding related relationship relative relatively release
+    relevant remain remaining remains remove removed replace replaced
+    represent represented represents require required requirement
+    requirements requires respect respectively rest return returns
+    right rise road role room rough roughly round rule run running
+    runs sale says scene school science sea season seat see seen
+    seem seems select selected sense sent separate series serve
+    served serves setting seven shall shape shared sharing short
+    shorter show showed showing shown shows side sides sign
+    significant significantly similar similarly simply site sites
+    situation size sizes slightly slow small smaller smallest sort
+    sound source sources space spaces specific specifically spent
+    spread squares stage stages stand standards start started
+    starting starts statement states station status stay step steps
+    still stop stopped store stored straight strength strong
+    strongly student students style subject subjects successful
+    suggest suggested suitable sum summer supply supported suppose
+    sure surface table tables take taken takes taking talk target
+    targets task tasks team tell ten term terms thing things think
+    third thought thousand threshold thresholds throughout today
+    together told took top total totally touch toward town track
+    trade traditional traffic train trained treat treated treatment
+    triangle tried true truly trust truth try turn turned turns
+    typical typically understand understanding understood unit units
+    unless unlike usually valid variety various vary version view
+    impossible
+    views volume wait walk wall wanted watch water week weeks weight
+    went white whole wide widely win window winter wish word words
+    work worked working works write written wrong year years yellow
+    yet young
     """.split()
 )
 
@@ -172,6 +273,38 @@ DE_WORDS: frozenset[str] = frozenset(
     untersuchungen verarbeitung verbesserung vergleich verhalten
     verfahrens verteilten verwaltung verwendung werkzeug werkzeuge
     wissen zeit zukunft zusammenfassung zuverlaessigkeit
+    ich du er es wir ihr mich dich ihn uns euch mir dir ihm ihnen
+    mein meine meinem meinen meiner meines deine deinem deinen deiner
+    unser unsere unserem unseren unserer euer eure wem wen wer wessen
+    wie wo wohin woher wann weshalb wieso ja nein vielleicht gern gerne
+    morgen gestern abend nacht tag tage jahr jahre jahren monat monate
+    woche wochen stunde stunden mal leben welt land laender stadt
+    staedte haus haeuser tuer fenster zimmer tisch stuhl wasser feuer
+    erde himmel meer berg berge fluss weg wege strasse strassen auto
+    zug geld preis preise schule schulen universitaet student
+    studenten lehrer seite seiten wort worte woerter satz saetze brief
+    briefe zahl zahlen geschichte natur tier tiere hund katze vogel
+    fisch baum baeume blume blumen frucht fruechte brot wein milch
+    farbe farben weiss schwarz rot blau gruen gelb koerper kopf auge
+    augen hand haende fuss fuesse arm arme bein beine herz geist seele
+    grund gruende gefuehl gefuehle liebe freundschaft familie vater
+    mutter bruder schwester sohn tochter onkel tante freund freunde
+    leute volk gesellschaft staat regierung gesetz gesetze recht
+    rechte krieg frieden kraft kraefte macht ordnung platz plaetze
+    anfang ende mitte seite haelfte teile gruppe gruppen anzahl frage
+    fragen antwort antworten ursache wirkung mittel weise art arten
+    stueck stelle stellen lage zustand zustaende richtung bereich
+    bereiche punkt punkte stufe stufen grad gewicht groesse laenge
+    breite hoehe tiefe flaeche raum raeume form formen linie linien
+    kreis quadrat dreieck gut boese schoen haesslich jung alt lang
+    kurz breit schmal stark schwach leichte schwer voll leer reich
+    arm teuer billig schwierig moeglich unmoeglich noetig nuetzlich
+    wichtig wichtige wichtigen wahr falsch richtig genaue klar dunkel
+    sauber schmutzig kalt warm heiss trocken nass weich hart frei
+    naechste naechsten verschieden verschiedene verschiedenen
+    besonders ebenfalls allerdings trotzdem dennoch inzwischen
+    schliesslich uebrigens beinahe ungefaehr ziemlich voellig
+    durchaus keineswegs
     """.split()
 )
 
@@ -220,6 +353,58 @@ FR_WORDS: frozenset[str] = frozenset(
     statistiques structures synthese techniques technologies tel
     temporelle theoreme traduction travail travaux utilisant
     utilisation valeurs vision
+    suis sommes etes etais etions etiez serai seras sera serons serez
+    seront serait serions seraient sois soyons soyez soient ai avons
+    avez ont avais avions aviez aient aura aurai auras aurons aurez
+    auront aurais aurions auriez fais faisons faisait faisaient font
+    fera feront ferait ferons vais vas va allons allez vont allait
+    allaient ira iront irait peux pouvons pouvez pouvait pouvaient
+    pourra pourront pourrait pourraient veux veut voulons voulez
+    veulent voulait voudra voudrait devons devez devait devaient devra
+    devrait sais sait savons savez savent savait saura viens vient
+    venons venez viennent venait viendra prend prends prenons prenez
+    prennent prenait prendra met mets mettons mettez mettent mettait
+    mettra dis disons dites disent disait dira donne donnes donnons
+    donnez donnent donnait donnera trouve trouvent trouvait trouvera
+    parle parlent parlait parlera passent passait passera portent
+    portait restent restait restera semble semblent semblait pense
+    pensent pensait laisse laissent laissait rendent rendait crois
+    croit croient croyait demandent demandait tient tiennent tenait
+    suivent suivait devient deviennent devenait comprend comprennent
+    comprenait permet permettent permettait montre montrent montrait
+    proposent proposait presentent presentait utilisent utilisait
+    homme femme enfant enfants jour jours nuit annee annees mois
+    semaine semaines heure fois monde vie mort pays ville villes
+    village maison porte fenetre chambre table chaise lit eau feu
+    terre ciel montagne riviere route chemin voiture train avion
+    bateau argent prix emploi ecole universite eleve eleves etudiant
+    etudiants professeur maitre livres mot phrase lettre lettres
+    chiffre chiffres histoire geographie nombre science animaux chien
+    chat oiseau oiseaux poisson arbre arbres fleur fleurs fruits pain
+    vin lait viande legumes couleur couleurs blanc blanche noir noire
+    rouge bleu vert jaune corps tete yeux oeil main mains pied pieds
+    bras jambe jambes coeur esprit ame idee raison sentiment
+    sentiments amour amitie famille pere mere frere soeur fils fille
+    filles oncle tante cousin voisin ami amis gens peuple societe etat
+    gouvernement loi lois droit droits guerre paix pouvoir ordre place
+    places rue rues quartier milieu cote bord debut commencement
+    moitie partie ensemble groupe groupes reponse reponses cause
+    causes effet effets resultat moyen moyens maniere manieres facon
+    facons sorte sortes genre espece especes niveau niveaux degre
+    poids taille longueur largeur hauteur profondeur surface volume
+    forme formes figure lignes cercle carre triangle mauvais mauvaise
+    beau belle joli jolie jeune vieux vieille longue court courte
+    large etroit etroite fort forte faible legere lourd lourde plein
+    pleine vide riche pauvre cher chere facile difficile impossible
+    necessaire utile inutile importante importants importantes vrai
+    vraie faux fausse exacte clair claire sombre sale froid froide
+    chaud chaude seche humide doux douce dur dure libre derniers
+    dernieres prochain prochaine diverses notamment egalement
+    particulierement generalement actuellement reellement vraiment
+    simplement largement fortement faiblement directement rapidement
+    lentement facilement difficilement completement entierement
+    totalement partiellement principalement essentiellement surtout
+    davantage desormais neanmoins toutefois
     """.split()
 )
 

@@ -242,11 +242,18 @@ def connected_components(
             )
         if cur == prev:
             break
-        if probe_fixpoint and _is_star(e):
-            # already a canonical star forest: the next round would be a
-            # no-op confirmation — skip it (the probe is one cheap
-            # aggregation, ~1/3 of a star round, and fires on the final
-            # round of every converging run)
+        if (
+            probe_fixpoint
+            and (prev is None or cur[0] == prev[0])
+            and _is_star(e)
+        ):
+            # Probe whether the graph is already a canonical star forest
+            # and skip the no-op confirmation round. Probed on round 0
+            # (contraction usually hands the rounds an already-star graph)
+            # and on count-stable rounds (the final round typically only
+            # re-points a few leaves); skipped on intermediate rounds whose
+            # edge count is still shrinking — one fewer serial aggregation
+            # job per such round, and the probe almost never fires there.
             if profile:
                 print(f"# cc.star_fixpoint after round {k}", file=sys.stderr)
             break

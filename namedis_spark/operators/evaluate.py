@@ -74,6 +74,82 @@ def pairwise_prf(assignments: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def result_stat(prf: DataFrame) -> DataFrame:
+    """Cross-run result comparison (resultstat.pl:98-268).
+
+    Input ``prf``: one row per (run_id, name, thres, precision, recall) —
+    the per-name threshold-sweep performance records of several result
+    runs (the reference parses these from DISTINCT-format result files,
+    resultstat.pl:110-146).
+
+    Reference semantics, faithfully:
+
+    * per (name, thres): precision/recall averaged across runs, and F1
+      computed PER RUN then averaged ("avg-f1", resultstat.pl:131-135,
+      168-179);
+    * per thres: macro P/R/F1 = mean of the per-name averages over all
+      names (resultstat.pl:211-223); micro-F1 = f1(macro_p, macro_r)
+      (resultstat.pl:227, the reference's naming);
+    * best unified threshold = argmax of macro-F1 (resultstat.pl:236,
+      ties broken toward the smaller threshold, rounded to 6 so both
+      engines pick identically);
+    * output: per-name rows at the best threshold (resultstat.pl:241-253)
+      plus ``__MACRO__`` / ``__MICRO__`` summary rows (the "Average
+      (macro-F1)" / "(micro-F1)" footer lines, resultstat.pl:255-262).
+    """
+
+    def f1_of(pcol, rcol):
+        return F.when(
+            (F.col(pcol) + F.col(rcol)) > 0,
+            2 * F.col(pcol) * F.col(rcol) / (F.col(pcol) + F.col(rcol)),
+        ).otherwise(0.0)
+
+    per_run = prf.withColumn("f1", f1_of("precision", "recall"))
+    by_name = per_run.groupBy("name", "thres").agg(
+        F.avg("precision").alias("p"),
+        F.avg("recall").alias("r"),
+        F.avg("f1").alias("f1"),
+    )
+    by_thres = (
+        by_name.groupBy("thres")
+        .agg(
+            F.avg("p").alias("macro_p"),
+            F.avg("r").alias("macro_r"),
+            F.avg("f1").alias("macro_f1"),
+        )
+        .withColumn("micro_f1", f1_of("macro_p", "macro_r"))
+    )
+    from namedis_spark.caching import tracked_persist
+
+    # referenced three times below (thres filter + two summary rows)
+    best = tracked_persist(
+        by_thres.orderBy(F.desc(F.round("macro_f1", 6)), F.asc("thres")).limit(1)
+    )
+    names_at_best = by_name.join(F.broadcast(best.select("thres")), "thres").select(
+        "name",
+        "thres",
+        F.round("p", 6).alias("p"),
+        F.round("r", 6).alias("r"),
+        F.round("f1", 6).alias("f1"),
+    )
+    summary = best.select(
+        F.lit("__MACRO__").alias("name"),
+        "thres",
+        F.round("macro_p", 6).alias("p"),
+        F.round("macro_r", 6).alias("r"),
+        F.round("macro_f1", 6).alias("f1"),
+    ).unionByName(
+        best.select(
+            F.lit("__MICRO__").alias("name"),
+            "thres",
+            F.round("macro_p", 6).alias("p"),
+            F.round("macro_r", 6).alias("r"),
+            F.round("micro_f1", 6).alias("f1"),
+        )
+    )
+    return names_at_best.unionByName(summary)
+
+
 def macro_micro(prf: DataFrame) -> dict:
     """Macro (mean of per-block) and micro (pooled pair counts) P/R/F1."""
     row = prf.agg(

@@ -877,6 +877,309 @@ def score_pairs_fast(
     return pairs_with_prep.mapInPandas(scorer, schema=out_schema)
 
 
+def _lgamma1_u(a):
+    """Elementwise ``lgamma(x + 1)`` via a unique-value memo of
+    ``math.lgamma`` — frequencies are small integers repeated across pairs,
+    so uniques are few, and using the SAME libm call as the per-pair oracle
+    keeps every table entry bit-identical to ``log_factorial``."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    uv, inv = np.unique(a, return_inverse=True)
+    tab = np.fromiter((math.lgamma(float(v) + 1.0) for v in uv), np.float64,
+                      count=uv.size)
+    return tab[inv].reshape(a.shape)
+
+
+def _coauthor_channel_batched(
+    I,
+    J,
+    co_dicts,
+    strong_dicts,
+    focus_arr,
+    focus_state,
+    p,
+    ambig: dict,
+    cn_counts: dict,
+    ambig_sum_total: float,
+):
+    """Stage-1 coauthor merge logic + coauthor CSLR + shared-coauthor boost
+    for every candidate pair, batched (no per-pair Python).
+
+    Replays, channel-for-channel, the per-pair sequence of
+    ``score_one_pair`` (NLPUtil.pm:3904-3941, 4173-4342 semantics):
+
+    * plain ≥2-shared merge for unambiguous focus names;
+    * strong-subset merge (shared strong coauthors == one side's full
+      strong set);
+    * evidence-error merge (min over shared coauthors of
+      ``coauthor_evidence_error`` ≤ tolerance, NLPUtil.pm:4096-4137);
+    * CSLR v2 odds on the strong-or-full vectors (``isSameCategorical2``,
+      NLPUtil.pm:3486-3712) with the >2-strong selection and the
+      (len>1, len>1) guard;
+    * the stage-2 shared-coauthor boost (ConceptNet.pm:6309-6358).
+
+    Mechanics: pairs × coauthor entries are hash-joined (pandas merges) to
+    enumerate every (pair, shared-key) once; min/max channels
+    (evidence-error, boost) aggregate per pair by groupby; the CSLR
+    likelihood ratio is evaluated in closed form from per-row sums and
+    per-pair shared sums — for sample s / multinomial m (bigger freq sum,
+    key-count tie-break):
+
+        log P = Σ_sh f_s·log(cap(f_m)+π) + f_s^unk·log(f_m^unk)
+              + u'·log(π) − n·log(S_m) + lgamma(n+1)
+              − Σ_sh lgamma(f_s+1) − lgamma(f_s^unk+1) − lgamma(u'+1)
+        log LR = log P + log C(m+n−1, n)
+
+    where S_m = Σ_known (cap(f_m)+π) + f_m^unk + π (the UNSEEN slot),
+    u' is the pooled-unseen freq after the ⌊n·0.3334⌋ reduction, and the
+    UNKNOWN slot follows cslr_v2's prior rules with unknown_prior = 0
+    (an UNKNOWN-bearing sample against an UNKNOWN-less multinomial has
+    probability 0). All lgamma values come from the same ``math.lgamma``
+    as the oracle (unique-value memo), so the only divergence from
+    ``cslr_v2`` is float summation order (≪1e-12 rel).
+
+    Returns ``(mergeable, reason, cslr_co, boost)`` arrays of length
+    ``len(I)``; non-sharing pairs keep the defaults (False, None, 0, 1).
+    """
+    import numpy as np
+
+    from namedis_spark.functions.core import (
+        CAT_PRIOR,
+        UNSEEN_REDUCTION_FRAC,
+        overestimate_ambig,
+    )
+
+    n = len(co_dicts)
+    P = len(I)
+    mergeable = np.zeros(P, dtype=bool)
+    reason = np.full(P, None, dtype=object)
+    cslr_co = np.zeros(P)
+    boost = np.ones(P)
+    if P == 0 or n == 0:
+        return mergeable, reason, cslr_co, boost
+
+    MAXF = 4.0
+    pr = CAT_PRIOR
+
+    # ---- entry tables (row, key-id, freq) over the group's vocab --------
+    key_ids: dict[str, int] = {}
+    ent_r: list[int] = []
+    ent_k: list[int] = []
+    ent_f: list[float] = []
+    sent_r: list[int] = []
+    sent_k: list[int] = []
+    kent_r: list[int] = []
+    kent_k: list[int] = []
+    kent_f: list[float] = []
+    for r, (co, st) in enumerate(zip(co_dicts, strong_dicts)):
+        for c, f in co.items():
+            v = key_ids.get(c)
+            if v is None:
+                v = len(key_ids)
+                key_ids[c] = v
+            ent_r.append(r)
+            ent_k.append(v)
+            ent_f.append(float(f))
+        for c in st:
+            sent_r.append(r)
+            sent_k.append(key_ids[c])
+        kd = st if len(st) > 2 else co
+        for c, f in kd.items():
+            kent_r.append(r)
+            kent_k.append(key_ids[c])
+            kent_f.append(float(f))
+    unk_id = key_ids.get("UNKNOWN", -1)
+
+    def row_stats(rows, keys, fs):
+        rows = np.asarray(rows, dtype=np.int64)
+        keys = np.asarray(keys, dtype=np.int64)
+        fs = np.asarray(fs, dtype=np.float64)
+        fsum = np.bincount(rows, weights=fs, minlength=n)
+        cnt = np.bincount(rows, minlength=n)
+        nun = keys != unk_id
+        funk = np.bincount(rows[~nun], weights=fs[~nun], minlength=n)
+        capped = np.bincount(rows[nun], weights=np.minimum(fs[nun], MAXF),
+                             minlength=n)
+        kcnt = np.bincount(rows[nun], minlength=n)
+        return fsum, cnt, funk, capped, kcnt, rows, keys, fs
+
+    full_stats = row_stats(ent_r, ent_k, ent_f)
+    k_stats = row_stats(kent_r, kent_k, kent_f)
+    scnt = np.bincount(np.asarray(sent_r, dtype=np.int64), minlength=n)
+
+    # ---- enumerate (pair, shared key) via hash joins --------------------
+    pairs_t = pd.DataFrame({"q": np.arange(P, dtype=np.int64), "i": I, "j": J})
+
+    def shared_table(rows, keys, fs, sub=None):
+        e = pd.DataFrame({"row": rows, "k": keys, "f": fs})
+        base = pairs_t if sub is None else pairs_t.iloc[sub]
+        m1 = base.merge(e, left_on="i", right_on="row")
+        m2 = m1.merge(e, left_on=["j", "k"], right_on=["row", "k"],
+                      suffixes=("1", "2"))
+        return (
+            m2["q"].to_numpy(),
+            m2["i"].to_numpy(),
+            m2["k"].to_numpy(),
+            m2["f1"].to_numpy(dtype=np.float64),
+            m2["f2"].to_numpy(dtype=np.float64),
+        )
+
+    qq, qi, qk, _, _ = shared_table(*full_stats[5:8])
+    shared_cnt = np.bincount(qq, minlength=P)
+    has_shared = shared_cnt > 0
+
+    # strong-shared counts (subset test)
+    se = pd.DataFrame({"row": sent_r, "k": sent_k})
+    ssc = np.zeros(P, dtype=np.int64)
+    if len(se):
+        ms = pairs_t.merge(se, left_on="i", right_on="row").merge(
+            se, left_on=["j", "k"], right_on=["row", "k"], suffixes=("1", "2")
+        )
+        ssc = np.bincount(ms["q"].to_numpy(), minlength=P)
+
+    # ---- per-key / per-row evidence scalars -----------------------------
+    keys_list = list(key_ids)
+    cntk = np.array([float(cn_counts.get(c, 0)) for c in keys_list])
+    kin_cnt = np.array([c in cn_counts for c in keys_list])
+    oek = np.array([overestimate_ambig(c, ambig) for c in keys_list])
+
+    _fmemo: dict[str, tuple] = {}
+
+    def fattrs(f):
+        a = _fmemo.get(f)
+        if a is None:
+            a = (
+                f in ambig,
+                f in cn_counts,
+                overestimate_ambig(f, ambig),
+                float(cn_counts.get(f, 0)),
+            )
+            _fmemo[f] = a
+        return a
+
+    rowf = [fattrs(f) for f in focus_arr]
+    foc_in_amb = np.array([a[0] for a in rowf])
+    foc_in_cnt = np.array([a[1] for a in rowf])
+    oef = np.array([a[2] for a in rowf])
+    cntf = np.array([a[3] for a in rowf])
+    is_amb_row = np.array([focus_state(f)[0] for f in focus_arr])
+
+    # evidence error, identical op order to coauthor_evidence_error
+    e1 = (cntk[qk] + 1) * oef[qi] / ambig_sum_total / 2
+    e2 = (cntf[qi] + 1) * oek[qk] / ambig_sum_total / 2
+    errv = np.where(
+        foc_in_amb[qi] & foc_in_cnt[qi] & kin_cnt[qk], np.maximum(e1, e2), 0.0
+    )
+    err_min = np.full(P, np.inf)
+    if qq.size:
+        g = pd.Series(errv).groupby(qq).min()
+        err_min[g.index.to_numpy()] = g.to_numpy()
+
+    # shared-coauthor boost, identical op order to shared_coauthor_boost
+    oef_safe = np.where(oef > 0, oef, 1.0)
+    oek_safe = np.where(oek > 0, oek, 1.0)
+    b1 = ambig_sum_total / (cntk[qk] + 1) / oef_safe[qi]
+    b2 = ambig_sum_total / (cntf[qi] + 1) / oek_safe[qk]
+    bv = np.where(oek[qk] > 0, np.minimum(b1, b2), b1)
+    bv = np.where(foc_in_amb[qi], bv, 1.0)
+    if qq.size:
+        g = pd.Series(bv).groupby(qq).max()
+        boost[g.index.to_numpy()] = np.maximum(g.to_numpy(), 1.0)
+
+    # ---- stage-1 decisions ----------------------------------------------
+    is_amb_pair = is_amb_row[I]
+    plain = ~is_amb_pair & (shared_cnt >= p.plain_min_shared)
+    subset = (
+        is_amb_pair
+        & has_shared
+        & (ssc > 0)
+        & ((ssc == scnt[I]) | (ssc == scnt[J]))
+    )
+    evid = is_amb_pair & has_shared & ~subset & (err_min <= p.error_tolerance)
+    mg_pre = plain | subset | evid
+    reason[plain] = "shared>=2"
+    reason[subset] = "subset"
+    reason[evid] = "evidence-error"
+
+    # ---- batched CSLR v2 ------------------------------------------------
+    def batched_cslr(mask, stats):
+        fsum, cnt, funk, capped, kcnt, rows, keys, fs = stats
+        qsel = np.nonzero(mask)[0]
+        out = np.zeros(P)
+        if qsel.size == 0:
+            return out
+        q2, _, k2, f1, f2 = shared_table(rows, keys, fs, sub=qsel)
+        if unk_id >= 0 and q2.size:
+            nun = k2 != unk_id
+            q2, f1, f2 = q2[nun], f1[nun], f2[nun]
+        t12 = f1 * np.log(np.minimum(f2, MAXF) + pr)
+        t21 = f2 * np.log(np.minimum(f1, MAXF) + pr)
+        lg1 = _lgamma1_u(f1)
+        lg2 = _lgamma1_u(f2)
+
+        def bc(w):
+            return np.bincount(q2, weights=w, minlength=P)[qsel]
+
+        T12, T21, L1, L2, S1, S2 = bc(t12), bc(t21), bc(lg1), bc(lg2), bc(f1), bc(f2)
+        i_, j_ = I[qsel], J[qsel]
+        m_is_j = (fsum[i_] < fsum[j_]) | (
+            (fsum[i_] == fsum[j_]) & (cnt[i_] < cnt[j_])
+        )
+        s_idx = np.where(m_is_j, i_, j_)
+        m_idx = np.where(m_is_j, j_, i_)
+        T = np.where(m_is_j, T12, T21)
+        Lsh = np.where(m_is_j, L1, L2)
+        SFs = np.where(m_is_j, S1, S2)
+        funk_s, funk_m = funk[s_idx], funk[m_idx]
+        n0 = fsum[s_idx]
+        u = np.maximum(n0 - funk_s - SFs, 0.0)
+        red = np.trunc(n0 * UNSEEN_REDUCTION_FRAC)
+        ucl = np.minimum(red, u)
+        u_after = u - ucl
+        nn = n0 - ucl
+        s_sum = capped[m_idx] + funk_m + pr * (kcnt[m_idx] + 1.0)
+        m_cnt = kcnt[m_idx] + 1.0 + ((funk_m > 0) | (funk_s > 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unk_term = np.where(
+                funk_s > 0,
+                np.where(funk_m > 0, funk_s * np.log(np.maximum(funk_m, 1e-300)),
+                         -np.inf),
+                0.0,
+            )
+        log_prob = (
+            T
+            + unk_term
+            + u_after * np.log(pr)
+            - nn * np.log(s_sum)
+            + _lgamma1_u(nn)
+            - Lsh
+            - _lgamma1_u(funk_s)
+            - _lgamma1_u(u_after)
+        )
+        log_support = _lgamma1_u(m_cnt + nn - 1.0) - _lgamma1_u(nn) - _lgamma1_u(
+            m_cnt - 1.0
+        )
+        log_lr = log_prob + log_support
+        with np.errstate(over="ignore"):
+            vals = np.exp(log_lr)
+        out[qsel] = np.where(np.isneginf(log_lr), 0.0, vals)
+        return out
+
+    cntK = k_stats[1]
+    maskA = (
+        ~mg_pre & is_amb_pair & has_shared & (cntK[I] > 1) & (cntK[J] > 1)
+    )
+    ccA = batched_cslr(maskA, k_stats)
+    cslr_merge = maskA & (ccA >= p.same_mn_odds_thres)
+    reason[cslr_merge] = "cslr-odds"
+    maskB = has_shared & (mg_pre | ~is_amb_pair)
+    ccB = batched_cslr(maskB, full_stats)
+    cslr_co = np.where(maskA, ccA, np.where(maskB, ccB, 0.0))
+    mergeable = mg_pre | cslr_merge
+    return mergeable, reason, cslr_co, boost
+
+
 def _score_group_vectorized(
     pairs_pdf: pd.DataFrame,
     prep_pdf: pd.DataFrame,
@@ -981,16 +1284,12 @@ def _score_group_vectorized(
     tool_sig_ids: dict[tuple, int] = {}
     sig_dicts: list[dict] = []
     sig_of = np.empty(n, dtype=np.int64)
-    co_index: dict[str, int] = {}
     for i, (co_k, co_f, tool_k, tool_f, focus) in enumerate(
         zip(prep_pdf["co_k"], prep_pdf["co_f"], prep_pdf["tool_k"],
             prep_pdf["tool_f"], focus_arr)
     ):
         co = dict(zip(co_k, co_f))
         co_dicts.append(co)
-        for c in co:
-            if c not in co_index:
-                co_index[c] = len(co_index)
         is_amb, cnt_thres, amb_thres, _, _ = focus_state(focus)
         if is_amb:
             strong = {
@@ -1037,16 +1336,6 @@ def _score_group_vectorized(
 
     C = np.array([np.asarray(a, dtype=np.float64) for a in prep_pdf["cat"]])
     Gc = C @ C.T
-
-    Vc = len(co_index)
-    A = np.zeros((n, Vc))
-    S = np.zeros((n, Vc))
-    for i, (co, strong) in enumerate(zip(co_dicts, strong_dicts)):
-        for c in co:
-            A[i, co_index[c]] = 1.0
-        for c in strong:
-            S[i, co_index[c]] = 1.0
-    As = A @ A.T
 
     I = pairs_pdf["conv_id1"].map(idx).to_numpy(dtype=np.int64)
     J = pairs_pdf["conv_id2"].map(idx).to_numpy(dtype=np.int64)
@@ -1103,61 +1392,13 @@ def _score_group_vectorized(
     emptyp = (lens[I] == 0) | (lens[J] == 0)
     gate = emptyp | (ic_sum >= gth[I])
 
-    # ---- stage 1 + coauthor channels: only pairs sharing a coauthor ------
-    mergeable = np.zeros(P, dtype=bool)
-    reason = np.full(P, None, dtype=object)
-    cslr_co = np.zeros(P)
-    boost = np.ones(P)
-    err_memo: dict[tuple[str, str], float] = {}
-
-    def pair_error(focus: str, c: str) -> float:
-        e = err_memo.get((focus, c))
-        if e is None:
-            e = coauthor_evidence_error(focus, c, ambig, cn_counts, ambig_sum_total)
-            err_memo[(focus, c)] = e
-        return e
-
-    for q in np.nonzero(As[I, J] > 0.0)[0]:
-        i, j = I[q], J[q]
-        focus = focus_arr[i]
-        co1, s1 = co_dicts[i], strong_dicts[i]
-        co2, s2 = co_dicts[j], strong_dicts[j]
-        shared = [c for c in co1 if c in co2]
-        is_ambiguous = focus_state(focus)[0]
-
-        mg = False
-        rs = None
-        if not is_ambiguous:
-            if len(shared) >= p.plain_min_shared:
-                mg, rs = True, "shared>=2"
-        elif shared:
-            shared_strong = [c for c in s1 if c in s2]
-            if shared_strong and (
-                len(shared_strong) == len(s1) or len(shared_strong) == len(s2)
-            ):
-                mg, rs = True, "subset"
-            else:
-                err = min(pair_error(focus, c) for c in shared)
-                if err <= p.error_tolerance:
-                    mg, rs = True, "evidence-error"
-
-        cc = 0.0
-        if not mg and is_ambiguous and shared:
-            k1 = s1 if len(s1) > 2 else co1
-            k2 = s2 if len(s2) > 2 else co2
-            if len(k1) > 1 and len(k2) > 1:
-                _, cc = cslr_v2(k1, k2, min_odds=0.0, max_counted_freq=4)
-                if cc >= p.same_mn_odds_thres:
-                    mg, rs = True, "cslr-odds"
-        elif shared:
-            _, cc = cslr_v2(co1, co2, min_odds=0.0, max_counted_freq=4)
-
-        mergeable[q] = mg
-        reason[q] = rs
-        cslr_co[q] = cc
-        boost[q] = shared_coauthor_boost(
-            focus, shared, ambig, cn_counts, ambig_sum_total
-        )
+    # ---- stage 1 + coauthor channels: batched over shared-key joins ------
+    # (plain/subset/evidence-error/cslr-odds merges, coauthor CSLR, shared-
+    # coauthor boost — no per-pair Python; see _coauthor_channel_batched)
+    mergeable, reason, cslr_co, boost = _coauthor_channel_batched(
+        I, J, co_dicts, strong_dicts, focus_arr, focus_state, p,
+        ambig, cn_counts, ambig_sum_total,
+    )
 
     # ---- unique-pair channels (jw, tool cslr) ----------------------------
     # Restricted to observable pairs when needed_only: for a gated-out,

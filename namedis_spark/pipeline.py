@@ -180,7 +180,17 @@ def run(
     else:
         prep = prepare_scoring(spark, features, side)
         key_cols = ["block_key", "conv_id1", "conv_id2"]
-        score_cols = [f.name for f in SCORE_SCHEMA.fields]
+        # The clustering path reads ONLY (stage1_mergeable, score) — the 12
+        # diagnostic component columns are ~4/5 of the row and are only read
+        # by verification queries, which invoke the scorers directly. Keep
+        # them off the scored-pair checkpoint (union + localCheckpoint +
+        # parquet snapshot) unless explicitly requested: at 10^12 turns the
+        # scored-pair table is the pipeline's biggest materialized
+        # intermediate.
+        if os.environ.get("SPARK_GRAFT_SCORE_COMPONENTS"):
+            score_cols = [f.name for f in SCORE_SCHEMA.fields]
+        else:
+            score_cols = ["stage1_mergeable", "score"]
         small_scored = score_blocks_exhaustive(
             spark,
             prep,

@@ -684,6 +684,189 @@ def threshold_sweep(spark, sf_dir):
     )
 
 
+def _result_stat_oracle() -> str:
+    grid = ", ".join(f"({t})" for t in _SWEEP_GRID)
+    return (
+        _DUCK_TRANSCRIPTS
+        + ", "
+        + _DUCK_RF
+        + f""",
+    grid(thres) AS (VALUES {grid}),
+    runs(run_id) AS (VALUES (1), (2)),
+    truth AS (
+        SELECT b.block_key, b.conv_id,
+               CAST(CAST(b.conv_id AS bigint) % 7 AS varchar) AS entity_id
+        FROM blocks b
+    ),
+    names AS (SELECT DISTINCT block_key AS name FROM truth),
+    tpb AS (
+        SELECT block_key AS name, sum(n * (n - 1) / 2.0) AS truth_pairs FROM (
+            SELECT block_key, entity_id, count(*) AS n FROM truth GROUP BY 1, 2
+        ) GROUP BY 1
+    ),
+    scored AS (
+        SELECT 1 AS run_id, block_key, conv_id1, conv_id2, jaccard AS score
+        FROM jacc
+        UNION ALL
+        SELECT 2, block_key, conv_id1, conv_id2, round(jaccard * jaccard, 6)
+        FROM jacc
+    ),
+    labeled AS (
+        SELECT s.run_id, s.block_key AS name, s.score,
+               (ta.entity_id = tb.entity_id) AS same
+        FROM scored s
+        JOIN truth ta ON ta.conv_id = s.conv_id1
+        JOIN truth tb ON tb.conv_id = s.conv_id2
+    ),
+    counts AS (
+        SELECT l.run_id, l.name, g.thres,
+               count(*) FILTER (l.score >= g.thres) AS pred,
+               count(*) FILTER (l.score >= g.thres AND l.same) AS correct
+        FROM grid g CROSS JOIN labeled l GROUP BY 1, 2, 3
+    ),
+    prf AS (
+        SELECT r.run_id, nm.name, g.thres,
+               CASE WHEN coalesce(c.pred, 0) > 0
+                    THEN coalesce(c.correct, 0) / CAST(c.pred AS double)
+                    ELSE 1.0 END AS precision,
+               CASE WHEN coalesce(t.truth_pairs, 0) > 0
+                    THEN coalesce(c.correct, 0) / t.truth_pairs
+                    ELSE 1.0 END AS recall
+        FROM runs r
+        CROSS JOIN names nm
+        CROSS JOIN grid g
+        LEFT JOIN counts c
+          ON c.run_id = r.run_id AND c.name = nm.name AND c.thres = g.thres
+        LEFT JOIN tpb t ON t.name = nm.name
+    ),
+    per_run AS (
+        SELECT *, CASE WHEN precision + recall > 0
+                       THEN 2 * precision * recall / (precision + recall)
+                       ELSE 0.0 END AS f1
+        FROM prf
+    ),
+    by_name AS (
+        SELECT name, thres, avg(precision) AS p, avg(recall) AS r,
+               avg(f1) AS f1
+        FROM per_run GROUP BY 1, 2
+    ),
+    by_thres AS (
+        SELECT thres, avg(p) AS macro_p, avg(r) AS macro_r,
+               avg(f1) AS macro_f1
+        FROM by_name GROUP BY 1
+    ),
+    best AS (
+        SELECT *, CASE WHEN macro_p + macro_r > 0
+                       THEN 2 * macro_p * macro_r / (macro_p + macro_r)
+                       ELSE 0.0 END AS micro_f1
+        FROM by_thres
+        ORDER BY round(macro_f1, 6) DESC, thres ASC LIMIT 1
+    )
+    SELECT n.name, n.thres, round(n.p, 6) AS p, round(n.r, 6) AS r,
+           round(n.f1, 6) AS f1
+    FROM by_name n JOIN best b ON n.thres = b.thres
+    UNION ALL
+    SELECT '__MACRO__', thres, round(macro_p, 6), round(macro_r, 6),
+           round(macro_f1, 6) FROM best
+    UNION ALL
+    SELECT '__MICRO__', thres, round(macro_p, 6), round(macro_r, 6),
+           round(micro_f1, 6) FROM best
+    """
+    )
+
+
+@q("result_stat", _result_stat_oracle())
+def result_stat_q(spark, sf_dir):
+    """Cross-run micro/macro result comparison (resultstat.pl:98-268): two
+    deterministic scorer runs (weighted role Jaccard and its squared
+    variant) produce per-name threshold-sweep PRF records; the reference's
+    aggregation then averages P/R/F1 per (name, thres) across runs, macro-
+    averages over names per threshold, derives micro-F1 from the macro
+    P/R, picks the best unified threshold by macro-F1, and reports the
+    per-name rows at that threshold plus the __MACRO__/__MICRO__ footer."""
+    from namedis_spark.operators.evaluate import result_stat
+
+    jacc = _spark_jaccard_pairs(spark, sf_dir)
+    t = load_transcripts(spark, sf_dir)
+    blocks = t.groupBy("conv_id").agg(
+        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    )
+    truth = blocks.withColumn(
+        "entity_id", (F.col("conv_id").cast("long") % 7).cast("string")
+    )
+    names = truth.select(F.col("block_key").alias("name")).distinct()
+    tpb = (
+        truth.groupBy("block_key", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("block_key")
+        .agg(F.sum(F.expr("n * (n - 1) / 2.0")).alias("truth_pairs"))
+        .select(F.col("block_key").alias("name"), "truth_pairs")
+    )
+    scored = jacc.select(
+        F.lit(1).alias("run_id"), "block_key", "conv_id1", "conv_id2",
+        F.col("jaccard").alias("score"),
+    ).unionByName(
+        jacc.select(
+            F.lit(2).alias("run_id"), "block_key", "conv_id1", "conv_id2",
+            F.round(F.col("jaccard") * F.col("jaccard"), 6).alias("score"),
+        )
+    )
+    labeled = (
+        scored.join(
+            truth.select(F.col("conv_id").alias("conv_id1"),
+                         F.col("entity_id").alias("e1")),
+            "conv_id1",
+        )
+        .join(
+            truth.select(F.col("conv_id").alias("conv_id2"),
+                         F.col("entity_id").alias("e2")),
+            "conv_id2",
+        )
+        .select(
+            "run_id", F.col("block_key").alias("name"), "score",
+            (F.col("e1") == F.col("e2")).alias("same"),
+        )
+    )
+    grid = spark.createDataFrame([(x,) for x in _SWEEP_GRID], "thres double")
+    runs = spark.createDataFrame([(1,), (2,)], "run_id int")
+    counts = (
+        F.broadcast(grid)
+        .crossJoin(labeled)
+        .groupBy("run_id", "name", "thres")
+        .agg(
+            F.count(F.when(F.col("score") >= F.col("thres"), 1)).alias("pred"),
+            F.count(
+                F.when((F.col("score") >= F.col("thres")) & F.col("same"), 1)
+            ).alias("correct"),
+        )
+    )
+    base = (
+        F.broadcast(runs)
+        .crossJoin(names)
+        .crossJoin(F.broadcast(grid))
+        .join(counts, ["run_id", "name", "thres"], "left")
+        .join(tpb, "name", "left")
+    )
+    prf = base.select(
+        "run_id",
+        "name",
+        "thres",
+        F.when(
+            F.coalesce(F.col("pred"), F.lit(0)) > 0,
+            F.coalesce(F.col("correct"), F.lit(0)) / F.col("pred").cast("double"),
+        )
+        .otherwise(1.0)
+        .alias("precision"),
+        F.when(
+            F.coalesce(F.col("truth_pairs"), F.lit(0.0)) > 0,
+            F.coalesce(F.col("correct"), F.lit(0)) / F.col("truth_pairs"),
+        )
+        .otherwise(1.0)
+        .alias("recall"),
+    )
+    return result_stat(prf)
+
+
 @q(
     "cluster_report",
     _DUCK_FLAGSHIP.replace(

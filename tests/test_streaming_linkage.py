@@ -135,3 +135,75 @@ def test_block_arrival_counts_watermarked(spark, tmp_path):
         g[r["block_key"]] += r["n_turns"]
     w = {r["bk"]: r["count"] for r in want.collect()}
     assert g == w
+
+
+def test_streaming_refines_batch_reconciliation(spark, tmp_path):
+    """Lambda reconciliation equivalence (the docstring's contract): stream
+    two drops, then run the BATCH pipeline over the same accumulated input.
+    The streaming assignments must be a REFINEMENT of the batch clusters —
+    every pair the greedy attachment merges is also merged by the batch
+    source of truth. The invariant behind it: streaming merges need >=2
+    shared coauthors against a cluster's (union) evidence set; whenever the
+    pair itself shares >=2 coauthors the batch stage-1 plain/evidence merge
+    plus transitive closure links it too. The reverse direction does NOT
+    hold — batch merges further via CSLR odds and stage-2 scoring, which is
+    exactly why the batch run remains the source of truth; the recall floor
+    below documents the measured gap rather than hiding it."""
+    import tempfile
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from namedis_spark import pipeline
+    from namedis_spark.streaming.linkage import start_incremental_linkage
+
+    t, _ = generate_transcripts(spark, n_blocks=4, seed=11, hot_blocks=1)
+    feats = conversation_features(t).cache()
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "assign")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = feats.where(
+        F.expr("pmod(cast(substring(conv_id, -4) as int), 2) = 0")
+    ).coalesce(1)
+    d2 = feats.where(
+        F.expr("pmod(cast(substring(conv_id, -4) as int), 2) = 1")
+    ).coalesce(1)
+    d1.write.mode("append").parquet(src)
+    q = start_incremental_linkage(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(180)
+    d2.write.mode("append").parquet(src)
+    q = start_incremental_linkage(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    stream_assign = {
+        r["conv_id"]: r["cluster_id"] for r in spark.read.parquet(sink).collect()
+    }
+    res = pipeline.run(spark, t, str(tmp_path / "batch_ckpt"))
+    batch_assign = {
+        r["conv_id"]: r["cluster_id"] for r in res.assignments.collect()
+    }
+    assert set(stream_assign) == set(batch_assign)
+
+    def cluster_pairs(assign):
+        members = defaultdict(list)
+        for conv, cid in assign.items():
+            members[cid].append(conv)
+        out = set()
+        for mem in members.values():
+            mem.sort()
+            out.update(
+                (a, b) for i, a in enumerate(mem) for b in mem[i + 1 :]
+            )
+        return out
+
+    sp = cluster_pairs(stream_assign)
+    bp = cluster_pairs(batch_assign)
+    stream_only = sp - bp
+    # refinement: greedy attachment never links what the batch pipeline
+    # separates (measured exactly 0 violations on this seeded fixture)
+    assert not stream_only, sorted(stream_only)[:5]
+    # the batch source of truth merges strictly more (CSLR + stage-2);
+    # require a sane recall floor so catastrophic state loss (e.g. state
+    # not surviving the restart) still fails loudly
+    recall = len(sp & bp) / len(bp)
+    assert recall > 0.3, recall
