@@ -32,7 +32,6 @@ HEADLINE = [
     "flagship_linkage",
     "term_frequencies",
     "tool_similarity",
-    "ann_cosine_topk",
     "simhash_fingerprints",
     "dedup_exact",
     "minhash_signatures",
@@ -41,7 +40,8 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "ngram_jaccard_dups",
     "embedding_cosine_dups",
-    "ann_lsh_topk",
+    # all three ANN variants (brute / LSH / IVF) ride one tagged union
+    "ann_topk",
     "term_ic",
 ]
 

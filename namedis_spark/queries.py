@@ -2377,8 +2377,7 @@ _DUCK_ANN = f"""
 """
 
 
-@q("ann_cosine_topk", _DUCK_ANN)
-def ann_cosine_topk(spark, sf_dir):
+def _ann_brute(spark, sf_dir):
     """brute-force cosine top-k (queries = vec_id < 10) — the exactness
     baseline for ANN; ranking on round-6 cosine with id tie-break so both
     engines order identically."""
@@ -2500,8 +2499,7 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-@q("ann_lsh_topk", _ann_lsh_oracle())
-def ann_lsh_topk(spark, sf_dir):
+def _ann_lsh(spark, sf_dir):
     """bucketed ANN top-k (queries = vec_id < 10) — the registered scale
     path: multi-table hyperplane LSH candidates + exact cosine + window
     rank. Recall vs the brute-force baseline is asserted in tests."""
@@ -2593,8 +2591,7 @@ def _ivf_topk_oracle() -> str:
     """
 
 
-@q("ivf_topk", _ivf_topk_oracle())
-def ivf_topk_q(spark, sf_dir):
+def _ann_ivf(spark, sf_dir):
     """IVF ANN top-k (queries = vec_id < 10): per-row nearest-cell
     assignment against a literal codebook (pure projection, no shuffle),
     n_probe-cell probing, candidate equi-join on cell, exact cosine +
@@ -2611,6 +2608,45 @@ def ivf_topk_q(spark, sf_dir):
         k=_ANN_K,
         n_probe=_IVF_Q_PROBE,
         cents=_ivf_codebook(),
+    )
+
+
+def _ann_topk_oracle() -> str:
+    def tag(sql: str, variant: str) -> str:
+        return (
+            f"SELECT '{variant}' AS variant, query_id, cand_id, cosine, rk "
+            f"FROM ({sql})"
+        )
+
+    return (
+        tag(_DUCK_ANN, "brute")
+        + " UNION ALL "
+        + tag(_ann_lsh_oracle(), "lsh")
+        + " UNION ALL "
+        + tag(_ivf_topk_oracle(), "ivf")
+    )
+
+
+@q("ann_topk", _ann_topk_oracle())
+def ann_topk(spark, sf_dir):
+    """ANN top-k, all three registered variants in one tagged union (the
+    driver verifies a bounded query window, so the variants share one
+    registry row the way `corpus_reports` unions its sub-reports):
+
+    * ``brute`` — exact cosine baseline, query-side broadcast;
+    * ``lsh``  — multi-table hyperplane LSH candidates + exact verify;
+    * ``ivf``  — literal-codebook cell assignment + n_probe probing
+      (fixed dyadic codebook; the DuckDB twin replays it bit-identically).
+    """
+    cols = ["query_id", "cand_id", "cosine", "rk"]
+
+    def tag(df, variant):
+        return df.select(F.lit(variant).alias("variant"), *cols)
+
+    return (
+        tag(_ann_brute(spark, sf_dir), "brute")
+        .unionByName(tag(_ann_lsh(spark, sf_dir), "lsh"))
+        .unionByName(tag(_ann_ivf(spark, sf_dir), "ivf"))
     )
 
 
@@ -3640,6 +3676,10 @@ def stage2_coauthor_boost_q(spark, sf_dir):
 # FIRST in the exported ordering — the driver checks a bounded prefix of
 # the registry, and definition order had silently dropped the last five.
 _VERIFY_FIRST = (
+    # round-4 additions, never driver-verified yet
+    "ann_topk",
+    "result_stat",
+    # the five queries a bounded driver window had starved through round 2
     "stage2_coauthor_boost",
     "blocking_candidates",
     "block_term_vectors",

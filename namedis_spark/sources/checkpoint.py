@@ -95,6 +95,7 @@ class CheckpointStore:
         t0 = time.time()
         path = self._round_path(name, k)
         stats: tuple[int, int] | None = None
+        snap_fut: Future | None = None
         stat_aggs = (
             [
                 F.count(F.lit(1)).alias("n"),
@@ -150,41 +151,51 @@ class CheckpointStore:
             # name.
             self._cached.setdefault(name, []).append(out)
 
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        snap_dep = snap_fut if not blocking else None
 
         def _metrics_job() -> list:
-            per_part = (
-                out.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(*aggs)
-                .collect()
+            # Per-partition lineage/metrics come from the snapshot's OWN
+            # parquet footers (one output file per write partition, row
+            # count in the file metadata): a driver-side footer read
+            # replaces what used to be a full scan of the cached round
+            # per round — at 10^7-edge rounds that scan was duplicated
+            # cluster work riding the metrics pool. The metrics table
+            # itself is written driver-side too (pyarrow), so bookkeeping
+            # costs zero Spark jobs.
+            if snap_dep is not None:
+                snap_dep.result()  # submitted before us on the FIFO pool
+            import glob
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            per_part = [
+                (i, pq.ParquetFile(f).metadata.num_rows)
+                for i, f in enumerate(files)
+            ] or [(-1, 0)]
+            wall = round(time.time() - t0, 3)
+            lin = json.dumps(lineage or {})
+            table = pa.table(
+                {
+                    "partition_id": pa.array(
+                        [p for p, _ in per_part], pa.int32()
+                    ),
+                    "n_rows": pa.array([n for _, n in per_part], pa.int64()),
+                    "name": pa.array([name] * len(per_part), pa.string()),
+                    "round": pa.array([k] * len(per_part), pa.int32()),
+                    "path": pa.array([path] * len(per_part), pa.string()),
+                    "wall_sec": pa.array(
+                        [wall] * len(per_part), pa.float64()
+                    ),
+                    "lineage": pa.array([lin] * len(per_part), pa.string()),
+                }
             )
-            rows = [
-                {
-                    "partition_id": r["partition_id"],
-                    "n_rows": r["n_rows"],
-                    "name": name,
-                    "round": k,
-                    "path": path,
-                    "wall_sec": round(time.time() - t0, 3),
-                    "lineage": json.dumps(lineage or {}),
-                }
-                for r in per_part
-            ] or [
-                {
-                    "partition_id": -1, "n_rows": 0, "name": name, "round": k,
-                    "path": path, "wall_sec": round(time.time() - t0, 3),
-                    "lineage": json.dumps(lineage or {}),
-                }
-            ]
             # one subdirectory per (name, round): concurrent metrics jobs
-            # never share an output committer staging dir
-            self.spark.createDataFrame(
-                rows,
-                "partition_id int, n_rows long, name string, round int, path string,"
-                " wall_sec double, lineage string",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.root, "metrics", f"{name}_r{k:05d}")
-            )
+            # never collide
+            mdir = os.path.join(self.root, "metrics", f"{name}_r{k:05d}")
+            os.makedirs(mdir, exist_ok=True)
+            pq.write_table(table, os.path.join(mdir, "part-00000.parquet"))
             return per_part
 
         metrics_fut = self._metrics_pool.submit(_metrics_job)
