@@ -441,6 +441,327 @@ def build_en_map() -> dict[str, int]:
     return m
 
 
+# ---------------------------------------------------------------------------
+# Round-4 thickening: the reference loads full dictionaries from dic/
+# (clean.pl:543-623); the round-3 lists (~700-800 words/language) under-vote
+# on real text. The blocks below extend each language to >2k real surface
+# forms: explicit inventories of everyday nouns / irregular-verb paradigms /
+# adverbs, plus systematically generated REGULAR inflections (German weak-verb
+# conjugation and adjective declension; French first-group -er conjugation and
+# regular adjective agreement) — all real word forms, restricted to paradigms
+# that are fully regular so generation cannot invent a non-word. Same ASCII
+# conventions as above (DE umlaut -> ae/oe/ue, ss; FR accents stripped).
+# ---------------------------------------------------------------------------
+
+# German weak (regular) verb stems: conjugates stem+en/t/te/ten and the
+# participle ge+stem+t (no ge- for inseparable prefixes be-/ver-/er-/ent-/
+# zer-/emp-/miss- and -ieren verbs, per standard grammar).
+_DE_WEAK_STEMS = """
+    mach such frag sag leb lieb spiel kauf bau zeig stell setz leg brauch
+    dank hoff woll hol fehl feier fuehl fuehr gruend klaer lach
+    lern mein merk nutz pack plan prob rechn red reis schau schick sorg
+    spar stoer tanz teil wart wechsel weck wirk wohn zahl zweifel
+    bearbeit beantwort bedeut begruend behandel beherrsch belast beleg
+    bemerk benoetig beobacht bericht beruecksichtig beschaeftig beschraenk
+    bestaetig besuch betracht betreu beurteil bewaehr bewert bezeichn
+    erfolg erfuell ergaenz erhoeh erklaer erlaub erleichter ermittel
+    ermoeglich eroeffn erreich ersetz erwart erwaehn erzeug
+    verursach verbesser verdeutlich vereinfach verfolg
+    verhinder verknuepf verlang verlager verringer versorg verteil
+    verwalt verwend verzicht
+    entwickel entfern entlast
+""".split()
+_DE_NO_GE_PREFIXES = ("be", "ver", "er", "ent", "zer", "emp", "miss", "ge")
+
+
+def _gen_de_weak(stems):
+    out = set()
+    for s in stems:
+        # e-insertion before -t/-te for dental and syllabic-n stems
+        # (wartet, redete, rechnet, bedeutet) — standard weak conjugation
+        t = s + ("e" if s.endswith(("d", "t", "chn", "ffn", "ckn", "gn")) else "")
+        # -el/-er stems take a bare -n infinitive (wechseln, verbessern)
+        inf = s + ("n" if s.endswith(("el", "er")) else "en")
+        out.update({inf, t + "t", t + "te", t + "ten"})
+        if s.endswith("ier") or s.startswith(_DE_NO_GE_PREFIXES):
+            out.add(t + "t")
+        else:
+            out.add("ge" + t + "t")
+    return out
+
+
+# German base adjectives whose declension base+e / base+en is fully regular.
+_DE_ADJ_BASES = """
+    schnell langsam ruhig laut leise froh traurig gluecklich zufrieden
+    muede krank gesund bekannt unbekannt beruehmt fremd eigen offen
+    einzeln oeffentlich privat staatlich wirtschaftlich politisch sozial
+    kulturell historisch technisch wissenschaftlich theoretisch praktisch
+    mathematisch physikalisch chemisch biologisch elektrisch elektronisch
+    mechanisch optisch thermisch dynamisch statisch manuell lokal global
+    zentral regional national international europaeisch deutsch englisch
+    franzoesisch modern klassisch typisch kritisch logisch numerisch
+    formal experimentell industriell strukturell funktional optimal
+    minimal maximal normal formell speziell generell aktuell virtuell
+    digital komplex konkret abstrakt direkt indirekt exakt korrekt
+    effizient intelligent relevant konstant interessant wichtig
+    vollstaendig unvollstaendig abhaengig unabhaengig zuverlaessig
+    leistungsfaehig notwendig zukuenftig bisherig heutig jeweilig
+    zahlreich erfolgreich umfangreich aehnlich unterschiedlich
+    zusaetzlich wesentlich urspruenglich ausfuehrlich gewoehnlich
+    persoenlich taeglich jaehrlich monatlich woechentlich endlich
+    grundlegend entsprechend folgend steigend wachsend
+    zunehmend umfassend bestehend vorliegend geeignet verbreitet
+""".split()
+
+
+def _gen_de_adj(bases):
+    out = set()
+    for b in bases:
+        out.update({b, b + "e", b + "en", b + "er"})
+    return out
+
+
+_DE_EXTRA = """
+    mann maenner frau frauen kind kinder junge maedchen herr dame mensch
+    menschen person personen arzt aerzte schueler lehrerin patient
+    mittag nachmittag mitternacht januar februar maerz april juni juli
+    august september oktober november dezember montag dienstag mittwoch
+    donnerstag freitag samstag sonntag sommer fruehling herbst jahreszeit
+    wetter regen schnee wind sonne mond stern sterne wolke wolken nebel
+    sturm gewitter blitz donner kueche bad garten hof keller dach wand
+    waende boden decke treppe flur bett schrank regal lampe spiegel
+    teppich kissen messer gabel loeffel teller tasse glas glaeser flasche
+    topf pfanne fruehstueck mittagessen abendessen speise speisen gericht
+    gerichte suppe salat fleisch gemuese obst apfel aepfel birne banane
+    orange zitrone traube erdbeere kirsche kartoffel kartoffeln tomate
+    zwiebel butter kaese ei eier zucker salz pfeffer mehl reis nudeln
+    kuchen keks schokolade honig marmelade saft kaffee tee bier kleidung
+    hemd hose rock kleid mantel jacke schuh schuhe socke hut muetze
+    handschuh guertel brille kette koffer tasche rucksack schluessel
+    bahnhof flughafen hafen haltestelle fahrkarte fahrplan reise urlaub
+    ferien hotel gast gaeste besuch arbeitgeber arbeitnehmer beruf berufe
+    firma firmen betrieb fabrik buero werkstatt laden geschaeft markt
+    kunde kunden verkaeufer chef kollege kollegen mitarbeiter gehalt lohn
+    steuer steuern rechnung konto bank banken kredit versicherung
+    krankenhaus apotheke medikament krankheit gesundheit schmerz
+    schmerzen fieber husten schnupfen unfall verletzung polizei feuerwehr
+    richter anwalt zeuge verbrechen dieb strafe gefaengnis kirche
+    religion gott glaube musik lied lieder konzert theater film filme
+    kino museum bibliothek zeitung zeitschrift roman gedicht kunst maler
+    saenger schauspieler buehne publikum sport fussball mannschaft tor
+    ball sieg niederlage wettkampf nummer summe viertel prozent sechs
+    sieben acht neun elf dreizehn vierzehn fuenfzehn sechzehn siebzehn
+    achtzehn neunzehn zwanzig dreissig vierzig fuenfzig sechzig siebzig
+    achtzig neunzig hundert tausend million milliarde vierte fuenfte
+    sechste siebte achte neunte zehnte gross klein neu gut schlecht
+    schlechte schlechten hoch tief duenn dick hungrig durstig tot
+    lebendig kompliziert gemeinsame gemeinsamen nationale internationale
+    ausserdem jedenfalls keinesfalls ansonsten ebenso genauso sofort
+    niemals irgendwann irgendwie irgendwo ueberall nirgendwo draussen
+    drinnen links rechts geradeaus vorne hinten darunter dazwischen
+    worauf wovon wozu womit wodurch weswegen
+    gehen geht ging gegangen kommen kommt kam gekommen sehen sieht sah
+    gesehen geben gibt gab gegeben nehmen nimmt nahm genommen finden
+    fand gefunden dachte gedacht wusste gewusst sprechen spricht sprach
+    gesprochen bringen bringt brachte gebracht halten haelt hielt
+    gehalten fahren faehrt fuhr gefahren laufen laeuft lief gelaufen
+    schreiben schreibt schrieb geschrieben lesen liest las gelesen essen
+    isst gegessen trinken trinkt trank getrunken schlafen schlaeft
+    schlief geschlafen beginnen begann begonnen bleiben bleibt blieb
+    geblieben sterben stirbt starb gestorben tragen traegt trug getragen
+    treffen trifft traf getroffen verlieren verliert verlor verloren
+    gewinnen gewinnt gewann gewonnen ziehen zog gezogen fallen fiel
+    gefallen steigen stieg gestiegen springen sprang gesprungen singen
+    sang gesungen helfen hilft half geholfen rufen rief gerufen schlagen
+    schlaegt schlug geschlagen waschen waescht wusch gewaschen vergisst
+    vergass verstehen verstand verstanden erhalten erhielt entstand
+    entstanden beschrieb beschrieben schliessen schloss geschlossen
+    enthaelt enthielt bestand bestanden bezog bezogen ergab betraegt
+    betrug gilt galt gegolten misst gemessen vergleicht verglich
+    verglichen unterscheidet unterschied unterschieden analysieren
+    analysiert analysierte implementieren implementiert implementierte
+    definieren definiert definierte diskutieren diskutiert diskutierte
+    praesentieren praesentiert realisieren realisiert basieren basiert
+    existieren existiert funktionieren funktioniert informieren
+    informiert organisieren organisiert reduzieren reduziert optimieren
+    optimiert generieren generiert integrieren integriert modellieren
+    modelliert simulieren simuliert spezifizieren spezifiziert
+    klassifizieren klassifiziert identifizieren identifiziert
+    charakterisieren charakterisiert
+""".split()
+
+DE_WORDS = frozenset(
+    set(DE_WORDS)
+    | set(_DE_EXTRA)
+    | _gen_de_weak(_DE_WEAK_STEMS)
+    | _gen_de_adj(_DE_ADJ_BASES)
+)
+
+# French first-group (-er) verb stems: stem+er/e/es/ent/ait/aient/era are
+# all real conjugated forms for every fully regular -er verb (3sg/2sg/3pl
+# present, 3sg/3pl imperfect, 3sg future); accents on the participle are
+# stripped by the same ASCII convention, folding it onto the -e form.
+_FR_ER_STEMS = """
+    parl march chant dans jou travaill etudi cherch trouv donn port
+    apport achet pay ecout regard aim ador detest prefer esper pens
+    oubli appel demand pos expliqu racont montr enseign habit visit
+    voyag nag gagn chang decid essay utilis employ cre developp amelior
+    augment diminu calcul mesur compar evalu present propos appliqu
+    realis prepar organis form inform
+    accept accompagn ajout analys annonc arrang arriv assur attach
+    attir avanc bloqu bris cess charg class collect combin commenc
+    communiqu compos compt consider constat consult continu contribu
+    control corrig coup declar decor demontr depass deplac design
+    detaill determin discut dispos distribu divis effectu elabor elimin
+    emport enregistr entour envoy estim evit exist exprim fabriqu
+    facilit ferm figur fix fonctionn fond forc gard gener group
+    identifi ignor illustr imagin import impos indiqu install integr
+    interess interpret invit lanc limit livr manqu marqu mentionn
+    modifi not observ occup opt particip pass permut plac prouv publi
+    quitt rappel recherch reclam refus regl regroup rejet relev remarqu
+    remplac rencontr renforc rentr repet represent reserv retourn
+    retrouv separ signal signifi simplifi situ stock termin test tir
+    touch tourn trait transform transport vari verifi visualis
+""".split()
+
+
+def _gen_fr_er(stems):
+    out = set()
+    for s in stems:
+        base = s
+        # e-insertion for -g stems before a/o endings (mangeait); only the
+        # endings used here need it for -ait/-aient
+        ge = s + "e" if s.endswith("g") else s
+        out.update(
+            {
+                base + "er",
+                base + "e",
+                base + "es",
+                base + "ent",
+                ge + "ait",
+                ge + "aient",
+                base + "era",
+            }
+        )
+    return out
+
+
+# French adjectives with rule-describable agreement. Generation handles the
+# regular classes: -e (invariant feminine), -el (doubles: -elle), -al
+# (masculine plural -aux), -s/-x (invariant masculine plural), default
+# (+e/+s/+es). Irregular-feminine adjectives (beau, vieux, bon, sec, …)
+# stay as explicit forms in the base/extra lists.
+_FR_ADJ_BASES = """
+    grand petit fort lent rapide calme triste content fatigue malade
+    vivant connu inconnu celebre propre simple seul commun social
+    culturel historique scientifique theorique pratique mathematique
+    physique chimique biologique electrique electronique mecanique
+    optique thermique statique manuel local mondial central regional
+    national francais anglais allemand espagnol moderne
+    classique typique critique logique formel industriel structurel
+    fonctionnel optimal minimal maximal normal special general actuel
+    virtuel digital complexe concret abstrait direct indirect exact
+    correct efficace intelligent pertinent constant interessant
+    important complet incomplet different independant fiable puissant
+    necessaire futur precedent present annuel mensuel
+    semblable identique distinct precis global initial final
+    principal essentiel reel original particulier recent profond
+    large etroit leger lourd plein vide riche pauvre froid chaud
+    humide dur libre ouvert haut court joli jeune
+    vrai clair sombre sale
+""".split()
+
+
+def _gen_fr_adj(bases):
+    out = set()
+    for b in bases:
+        if b.endswith("e"):
+            out.update({b, b + "s"})
+        elif b.endswith("el"):
+            out.update({b, b + "le", b + "s", b + "les"})
+        elif b.endswith("al"):
+            out.update({b, b + "e", b + "es", b[:-2] + "aux"})
+        elif b.endswith(("s", "x")):
+            out.update({b, b + "e", b + "es"})
+        else:
+            out.update({b, b + "e", b + "s", b + "es"})
+    return out
+
+
+_FR_EXTRA = """
+    matin soir midi minuit hier demain janvier fevrier mars avril juin
+    juillet aout septembre octobre novembre decembre lundi mardi
+    mercredi jeudi vendredi samedi dimanche printemps automne saison
+    saisons pluie neige vent soleil lune etoile etoiles nuage nuages
+    brouillard orage tonnerre cuisine salle bain jardin cour cave toit
+    mur murs sol plafond escalier couloir armoire etagere lampe miroir
+    tapis rideau coussin couteau fourchette cuillere assiette tasse
+    verre verres bouteille casserole dejeuner diner repas plat plats
+    soupe salade legume fruit pomme pommes poire banane citron raisin
+    fraise cerise patate tomate oignon beurre fromage oeuf oeufs sucre
+    sel poivre farine riz pates gateau biscuit chocolat miel confiture
+    jus cafe the biere vetement vetements chemise pantalon jupe robe
+    manteau veste chaussure chaussures chaussette chapeau gant ceinture
+    lunettes bague collier valise sac cle serrure gare aeroport port
+    arret billet horaire voyage vacances hotel invite sejour patron
+    employes metier metiers poste entreprise entreprises usine bureau
+    atelier magasin marche marches client clients vendeur collegue
+    collegues salaire impot impots facture compte banque banques credit
+    assurance hopital pharmacie medicament maladie sante douleur
+    douleurs fievre toux rhume accident blessure medecin infirmiere
+    dentiste police pompier tribunal juge avocat temoin crime voleur
+    peine prison eglise religion dieu foi priere musique chanson
+    chansons concert theatre cinema musee bibliotheque journal roman
+    poeme peinture peintre sculpteur chanteur acteur actrice scene
+    public spectacle sport football match equipe but balle ballon
+    natation gymnastique victoire defaite competition numero somme
+    quantite quart pourcentage huit dix onze douze treize quatorze
+    quinze trente quarante cinquante soixante cent mille million
+    milliard troisieme quatrieme cinquieme sixieme septieme huitieme
+    neuvieme dixieme gros grosse bruyant silencieux heureux heureuse
+    malheureux eveille affame saine etranger publique prive privee
+    sociaux locaux dehors dedans dessus dessous gauche droite soudain
+    bientot tard tot deja plutot autrefois rarement
+    europeen europeenne europeens europeennes italien italienne
+    quotidien quotidienne ancienne anciennes bas basse basses longue
+    longues longs sec seche doux douce bon bons mauvaises vieil
+    vieilles bel belles nouveau bonnes fausses
+    aller venir voir savoir pouvoir vouloir devoir falloir prendre
+    mettre dire lire ecrire boire manger dormir partir sortir entrer
+    monter descendre tomber rester arriver chercher trouver donner
+    porter apporter emporter acheter vendre payer couter ouvrir fermer
+    commencer finir continuer arreter attendre ecouter entendre
+    regarder sentir toucher gouter aimer adorer detester preferer
+    esperer penser croire douter oublier rappeler appeler repondre
+    demander poser expliquer raconter montrer apprendre enseigner
+    etudier travailler jouer chanter danser courir marcher nager voler
+    conduire voyager visiter habiter vivre mourir naitre grandir
+    changer devenir choisir decider essayer reussir echouer gagner
+    perdre suivre servir utiliser employer construire detruire creer
+    produire developper ameliorer augmenter diminuer reduire calculer
+    mesurer comparer analyser evaluer definir decrire presenter
+    proposer introduire appliquer realiser obtenir permettre preparer
+    organiser former informer
+    allee eu pris mis dit lu ecrit bu mange dormi parti sorti monte
+    descendu tombe arrive cherche donne porte achete vendu paye ouvert
+    ferme commence fini arrete attendu ecoute entendu regarde senti
+    touche aime espere pense cru oublie appele repondu demande pose
+    explique raconte montre appris enseigne etudie travaille joue
+    chante danse couru marche nage conduit voyage visite habite vecu
+    devenu choisi decide essaye reussi gagne perdu suivi servi utilise
+    employe construit detruit cree produit developpe ameliore augmente
+    diminue reduit calcule mesure compare evalue defini decrit presente
+    propose introduit applique realise obtenu permis prepare organise
+    forme informe
+""".split()
+
+FR_WORDS = frozenset(
+    set(FR_WORDS)
+    | set(_FR_EXTRA)
+    | _gen_fr_er(_FR_ER_STEMS)
+    | _gen_fr_adj(_FR_ADJ_BASES)
+)
+
 # Derived dual-dialect vote sets (phrase/apostrophe handling lives only in
 # the Python port; the SQL vote uses the plain set algebra both engines
 # can replay identically)

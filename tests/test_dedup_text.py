@@ -336,6 +336,49 @@ def test_test_lang_dictionary_vote():
     assert not test_lang("the new model", DE_WORDS, en_map)
 
 
+def test_thickened_dictionaries_recall():
+    """Round-4 thickening (clean.pl:543-623 loads full dic/ vocabularies):
+    content-word-heavy text with few or no function words must still vote
+    foreign — everyday nouns, conjugated verb forms, and declined
+    adjectives now carry votes, not just function words."""
+    from namedis_spark.functions.langdata import (
+        DE_WORDS,
+        FR_WORDS,
+        build_en_map,
+    )
+    from namedis_spark.operators.textops import test_lang
+
+    en_map = build_en_map()
+    assert len(DE_WORDS) >= 2000 and len(FR_WORDS) >= 2000
+
+    # German: everyday nouns + weak-verb preterite + declined adjectives,
+    # zero classic function-word signal beyond the article
+    assert test_lang(
+        "der lehrer erklaerte wichtige grundlagen und zeigte zahlreiche beispiele",
+        DE_WORDS, en_map,
+    )
+    # generated weak conjugation forms (e-insertion, -el infinitive)
+    assert test_lang(
+        "wir beobachteten und bewerteten verschiedene verfahren", DE_WORDS, en_map
+    )
+    # French: conjugated -er forms (imparfait/futur) + agreed adjectives
+    assert test_lang(
+        "les chercheurs analysaient et comparaient plusieurs approches nouvelles",
+        FR_WORDS, en_map,
+    )
+    assert test_lang(
+        "cette etude presentera des resultats importants et originaux",
+        FR_WORDS, en_map,
+    )
+    # English technical text stays English against the thicker lists
+    s = (
+        "experimental evaluation of scalable distributed algorithms for "
+        "large scale data processing systems"
+    )
+    assert not test_lang(s, DE_WORDS, en_map)
+    assert not test_lang(s, FR_WORDS, en_map)
+
+
 def test_language_id_operator_votes(spark):
     from namedis_spark.operators.textops import language_id
 
