@@ -151,6 +151,67 @@ def term_stats_rows(features: DataFrame) -> list:
     )
 
 
+def term_and_name_stats(features: DataFrame):
+    """Term statistics and name-part log-probability tables from ONE Spark
+    job: the two aggregates (explode(term_freq) → per-term df/freq, and
+    two-part focus-surface → (given, surname) occurrence counts) are
+    unioned into a common tagged schema and collected together. Results are
+    identical to ``term_stats_rows`` + ``name_part_logprobs`` run
+    separately; sharing the job removes one scheduling barrier from the
+    pipeline's side-table stage (both collects are vocab-/surface-sized).
+
+    Returns (term_rows, (surname_logprob_dict, given_logprob_dict))."""
+    import math as _math
+
+    terms = (
+        features.select("conv_id", F.explode("term_freq").alias("term", "tfreq"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tfreq").alias("freq"))
+        .select(
+            F.lit("t").alias("kind"),
+            F.col("term").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("df").cast("double").alias("c1"),
+            F.col("freq").cast("double").alias("c2"),
+        )
+    )
+    surf = (
+        features.select(F.lower(F.col("focus_raw")).alias("s"))
+        .withColumn("s", F.regexp_replace("s", "-", ""))
+        .withColumn("parts", F.split("s", " +"))
+        .where(F.size("parts") == 2)
+        .groupBy(
+            F.element_at("parts", 1).alias("given"),
+            F.element_at("parts", 2).alias("surname"),
+        )
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .select(
+            F.lit("n").alias("kind"),
+            F.col("given").alias("k1"),
+            F.col("surname").alias("k2"),
+            F.col("occ").cast("double").alias("c1"),
+            F.lit(0.0).alias("c2"),
+        )
+    )
+    rows = terms.unionByName(surf).collect()
+    term_rows = [
+        {"term": r["k1"], "df": int(r["c1"]), "freq": r["c2"]}
+        for r in rows
+        if r["kind"] == "t"
+    ]
+    sur_cnt: dict[str, float] = {}
+    giv_cnt: dict[str, float] = {}
+    for r in rows:
+        if r["kind"] == "n":
+            giv_cnt[r["k1"]] = giv_cnt.get(r["k1"], 0.0) + r["c1"]
+            sur_cnt[r["k2"]] = sur_cnt.get(r["k2"], 0.0) + r["c1"]
+    s_tot = sum(sur_cnt.values()) or 1.0
+    g_tot = sum(giv_cnt.values()) or 1.0
+    sur_lp = {k: _math.log(v / s_tot) for k, v in sur_cnt.items()}
+    giv_lp = {k: _math.log(v / g_tot) for k, v in giv_cnt.items()}
+    return term_rows, (sur_lp, giv_lp)
+
+
 def idf_ic_from_stats(term_rows: list, n_convs: int) -> tuple[dict, dict]:
     """Derive (idf dict, cat-IC dict) from ``term_stats_rows`` output,
     matching ``term_idf`` / ``term_ic`` semantics (same formulas, same

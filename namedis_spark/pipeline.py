@@ -66,14 +66,21 @@ def run(
     store = CheckpointStore(spark, checkpoint_dir)
 
     # -- features (stage snapshot: resumable without recompute) ----------
+    # n_convs rides the materialization action as an Observation (fresh
+    # path) or comes from the committed snapshot's parquet footers (resume)
+    # — either way it costs zero extra Spark jobs (it used to be a separate
+    # aggregation job in the side-table stage).
     if resume and store.latest_round("features") is not None:
-        features = store.read_round("features", store.latest_round("features")).persist()
+        k = store.latest_round("features")
+        features = store.read_round("features", k).persist()
+        n_convs = store.round_row_count("features", k)
     else:
-        features = store.write_round(
+        features, (n_convs, _) = store.write_round(
             "features",
             0,
             conversation_features(transcripts),
             lineage={"op": "features"},
+            stat_cols=["conv_id"],
             blocking=False,
         )
 
@@ -123,7 +130,7 @@ def run(
     # the loop — a measured chunk of the Amdahl floor)
     cn = corpus.coauthor_stats(features).persist()
 
-    with ThreadPoolExecutor(max_workers=7) as ex:
+    with ThreadPoolExecutor(max_workers=5) as ex:
         f_cn = ex.submit(timed("coauthor_stats", lambda: cn.count()))
         f_pairs = ex.submit(timed("pairs", lambda: pairs.count() if pairs is not None else 0))
         # distributed ambiguity fixed point + distributed significance
@@ -136,17 +143,16 @@ def run(
                 sizes.select("block_key"),
                 params.error_tolerance,
             )))
-        f_n = ex.submit(
-            timed("n_convs", lambda: sizes.agg(F.sum("n").alias("n")).collect()[0]["n"])
+        # idf/IC + name-part tables derive from ONE unioned explode+groupBy
+        # job (both collects are vocab-/surface-sized; sharing the job
+        # removes a scheduling barrier from the serial floor)
+        f_terms = ex.submit(
+            timed("term_name_stats", lambda: corpus.term_and_name_stats(features))
         )
-        # idf + IC derive from ONE explode+groupBy scan (vocab-sized collect)
-        f_terms = ex.submit(timed("term_stats", lambda: corpus.term_stats_rows(features)))
         f_ts = ex.submit(timed("tool_simi", lambda: corpus.tool_simi(features).collect()))
-        f_np = ex.submit(timed("name_parts", lambda: corpus.name_part_logprobs(features)))
-        pruned, n_convs, term_rows, ts_rows = (
-            f_side.result(), f_n.result(), f_terms.result(), f_ts.result(),
+        pruned, (term_rows, name_part_lps), ts_rows = (
+            f_side.result(), f_terms.result(), f_ts.result(),
         )
-        name_part_lps = f_np.result()
         f_pairs.result()
         f_cn.result()
     hits.unpersist()

@@ -204,6 +204,22 @@ class CheckpointStore:
             return out, stats
         return out
 
+    def round_row_count(self, name: str, k: int) -> int:
+        """Row count of a committed round from its parquet footers —
+        driver-side metadata reads, zero Spark jobs. Only valid for rounds
+        whose ``_SUCCESS`` marker exists (i.e. anything ``latest_round``
+        returns): non-blocking snapshots are joined by flush() before the
+        marker lands."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        path = self._round_path(name, k)
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
     def complete_rounds(self, name: str) -> list[int]:
         base = os.path.join(self.root, name)
         if not os.path.isdir(base):
