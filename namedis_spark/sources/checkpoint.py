@@ -29,6 +29,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Snapshot compression: zstd halves round-snapshot bytes vs snappy on the
+# string-heavy edge/feature tables (measured ~2.1x on CC round files) at a
+# small CPU cost that is paid per-core at every cluster size — while the
+# disk-write bytes it saves come out of the one resource all executors on a
+# box SHARE. On the scaling harness the per-run shuffle+checkpoint traffic
+# was 7.5-9.4 GB; shrinking the checkpoint half directly lifts the
+# bandwidth ceiling that capped 4-executor efficiency.
+SNAPSHOT_CODEC = "zstd"
+
+
 class CheckpointStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -112,7 +122,9 @@ class CheckpointStore:
                 # piggyback the checksum on the write job itself
                 obs = Observation(f"{name}-r{k}")
                 df = df.observe(obs, *stat_aggs)
-            df.write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").option(
+                "compression", SNAPSHOT_CODEC
+            ).parquet(path)
             out = self.spark.read.parquet(path)
             if obs is not None:
                 got = obs.get
@@ -140,7 +152,9 @@ class CheckpointStore:
                 got = obs.get
                 stats = (int(got["n"]), int(got["h"]))
             snap_fut = self._metrics_pool.submit(
-                lambda: out.write.mode("overwrite").parquet(path)
+                lambda: out.write.mode("overwrite")
+                .option("compression", SNAPSHOT_CODEC)
+                .parquet(path)
             )
             self._pending.append(snap_fut)
             # superseded rounds stay cached until the store is flushed —
@@ -215,10 +229,18 @@ class CheckpointStore:
         import pyarrow.parquet as pq
 
         path = self._round_path(name, k)
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in glob.glob(os.path.join(path, "*.parquet"))
-        )
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            # The footer read only works on a local filesystem root (the
+            # sandbox mapping; an Iceberg/object-store deployment swaps this
+            # store for snapshot metadata). A remote URI or empty round must
+            # fail loudly here — silently returning 0 would propagate
+            # n_convs=0 into idf/n_docs on resume.
+            raise FileNotFoundError(
+                f"round_row_count: no parquet files under {path!r} — "
+                "non-local checkpoint root or incomplete round"
+            )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def complete_rounds(self, name: str) -> list[int]:
         base = os.path.join(self.root, name)

@@ -126,6 +126,33 @@ def test_key_ambiguity_driver_matches_dataframe(spark, data):
         assert abs(got[k][1] - amb) <= 2e-6, (k, got[k][1], amb)
 
 
+def test_key_ambiguity_pdf_bounded(spark, data):
+    """The bounded driver-side path must match the distributed loop under
+    the bound and decline gracefully (None -> distributed fallback) above
+    it — the documented 10^12-scale driver-memory guard (pipeline side
+    stage)."""
+    from namedis_spark.operators import corpus
+    from namedis_spark.operators.features import conversation_features
+
+    t, _, _ = data
+    f = conversation_features(t)
+    want = {
+        r["name"]: (r["occurrence"], r["ambig"])
+        for r in corpus.key_ambiguity(f, rounds=3).collect()
+    }
+    got_pdf = corpus.key_ambiguity_pdf_bounded(f, rounds=3, max_rows=10_000_000)
+    assert got_pdf is not None
+    got = {
+        r.name: (r.occurrence, r.ambig) for r in got_pdf.itertuples(index=False)
+    }
+    assert set(want) == set(got)
+    for k, (occ, amb) in want.items():
+        assert got[k][0] == occ, k
+        assert abs(got[k][1] - amb) <= 2e-6, (k, got[k][1], amb)
+    # over-bound universes must refuse the pull, not truncate it
+    assert corpus.key_ambiguity_pdf_bounded(f, rounds=3, max_rows=1) is None
+
+
 def test_chinese_name_chars_classifier():
     # isChineseName semantics (NLPUtil.pm:1680-1710): 2-part pinyin names
     # count 2-3 chars; two-char surnames count one; others 0
