@@ -4,8 +4,10 @@ The reference loads German/French/English dictionaries plus loan-word
 lists (``loadVocab``, clean.pl:543-623) from its ``dic/`` directory
 (german.dic 276 words, french-all.dic 874, english-all.dic ~4.2k). The
 lists below are independently assembled standard function/common-word
-inventories at the same order of magnitude (DE ≳ 600, FR ≳ 800,
-EN ≳ 1.7k after the shared-word fold) — function words dominate every
+inventories at the same order of magnitude (DE ≳ 2.2k, FR ≳ 2.8k,
+EN ≳ 2k after the shared-word fold; the EN side is deliberately kept
+thick enough that every FR/DE surface that is also a real English word
+classifies as *shared*, never foreign) — function words dominate every
 natural-language text, so this carries the vote's signal. Words that are
 native in BOTH English and German/French (table, train, hand, figure, …)
 appear in both lists and therefore count as *shared* votes, the same
@@ -214,6 +216,87 @@ EN_WORDS: frozenset[str] = frozenset(
     yet young
     """.split()
 )
+
+# Round-5 thickening (ADVICE r4): the DE/FR dictionaries grew past 2k
+# surface forms while EN stayed at ~1.5k, so English cognates and
+# homographs of the new foreign surfaces (constant, porter, hotel,
+# million, change, force, ...) voted FOREIGN instead of SHARED and plain
+# English sentences flagged French. The reference avoids this by loading
+# a ~4.2k-word english dictionary (clean.pl:543-623) so cognates land in
+# `shared`. This extension restores that balance: (a) every FR/DE-list
+# surface that is also a real common English word, (b) a general
+# common-English inventory (everyday nouns/verbs/adjectives + key
+# inflections) at the reference's order of magnitude.
+_EN_EXTRA = """
+    accident assurance bureau car cave cent charge charged charges
+    cinema client clients competition concert constant constants
+    continue continued continues continuing cousin cousins credit
+    crime crimes critique dire distinct edition editions equations
+    fort forte fruit fruits genre grace grand hotel hotels impose
+    imposed imposes indirect invite invited invites journal journals
+    lit locale machines mains match matches million millions organise
+    organised patron pays pendant performances phrase phrases physique
+    plus port ports porter pose posed poses pour poured pours prepare
+    prepared prepares presentation presentations principal prison
+    rapport refuse refused refuses regional religion reserve reserved
+    reserves robe robes roman rouge route routes sales seize seized
+    sentiment sentiments six son sons spectacle sport sports suite
+    suites theatre theatres tire tired tires touches trait traits
+    transport transported transports tribunal varied varies vent vents
+    village villages visit visited visiting visits voyage voyages
+    ball bald bank fallen gut hat hut man mantel museum music nun oft
+    patient pro regal rock sang tag tee teller tier tot wand war warm
+    wind
+    parameter parameters bag bags weather
+    january february march april may june july august september
+    october november december monday tuesday wednesday thursday friday
+    saturday sunday spring autumn north south east west
+    mother father brother sister daughter uncle aunt grandmother
+    grandfather wife husband baby child children friend friends
+    family families people person neighbor guest guests
+    door floor roof garden kitchen bathroom bedroom room rooms street
+    streets road roads river lake mountain mountains forest tree
+    flower flowers dog cat bird birds fish horse animal animals
+    morning evening afternoon tonight tomorrow yesterday hour minutes
+    money price prices store shop shops market hospital doctor nurse
+    teacher lawyer church god king queen president government country
+    countries nation national international city cities town towns
+    building factory farm office works company companies business
+    bread milk cheese coffee tea beer wine water juice bottle glasses
+    cup plate knife fork spoon chair bed lamp mirror carpet curtain
+    ceiling stairs key keys lock bus plane airplane airport ticket
+    tickets travel trip holiday holidays vacation luggage suitcase
+    salary tax taxes bill bills account insurance medicine disease
+    health healthy fever cough injury blood heart eye eyes ear ears
+    nose mouth tooth teeth leg legs foot feet finger fingers hair
+    skin shoulder stomach body
+    dinner lunch breakfast meal meat chicken egg eggs butter sugar
+    salt pepper rice soup cake apple apples pear banana lemon grape
+    strawberry cherry potato potatoes tomato onion vegetable
+    vegetables chocolate honey shirt shoes dress coat jacket skirt
+    hat socks gloves belt glasses ring necklace
+    dance danced dancing sing singing swim swimming ride riding drive
+    driving drove fly flying flew walked walking ran eat eating ate
+    drink drinking drank sleep sleeping slept wake woke wear wearing
+    wore buy buying bought sell selling sold paid spend spending cook
+    cooking cleaning wash washing closing began begun finish finished
+    stopping waited listen listened hear heard smell taste laugh
+    laughed cry cried smile smiled speak speaking spoke spoken said
+    saying tells telling asks teach teaching taught studied forgot
+    forget forgotten remember remembered send sending sent push pull
+    throw threw catch caught broke broken repair repaired destroy
+    destroyed won lose losing fight fought die died dead death born
+    grew grown lived living stayed arrive arrived arriving leaving
+    entered enter returned visit song songs movie movies picture
+    pictures photo photos newspaper magazine island bridge tower
+    castle war peace love loved hate hated happy sad angry afraid
+    beautiful ugly tall thin thick fat hot cold warm cool dry wet
+    clean dirty loud quiet empty soft sweet sour bitter fresh cheap
+    expensive rich poor safe dangerous strange famous foreign modern
+    ancient
+    """.split()
+
+EN_WORDS = frozenset(set(EN_WORDS) | set(_EN_EXTRA))
 
 DE_WORDS: frozenset[str] = frozenset(
     """
@@ -700,7 +783,7 @@ _FR_EXTRA = """
     soupe salade legume fruit pomme pommes poire banane citron raisin
     fraise cerise patate tomate oignon beurre fromage oeuf oeufs sucre
     sel poivre farine riz pates gateau biscuit chocolat miel confiture
-    jus cafe the biere vetement vetements chemise pantalon jupe robe
+    jus cafe biere vetement vetements chemise pantalon jupe robe
     manteau veste chaussure chaussures chaussette chapeau gant ceinture
     lunettes bague collier valise sac cle serrure gare aeroport port
     arret billet horaire voyage vacances hotel invite sejour patron
@@ -713,7 +796,7 @@ _FR_EXTRA = """
     peine prison eglise religion dieu foi priere musique chanson
     chansons concert theatre cinema musee bibliotheque journal roman
     poeme peinture peintre sculpteur chanteur acteur actrice scene
-    public spectacle sport football match equipe but balle ballon
+    public spectacle sport football match equipe balle ballon
     natation gymnastique victoire defaite competition numero somme
     quantite quart pourcentage huit dix onze douze treize quatorze
     quinze trente quarante cinquante soixante cent mille million

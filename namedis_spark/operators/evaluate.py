@@ -74,6 +74,72 @@ def pairwise_prf(assignments: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def align_external(
+    corpus_keys: DataFrame, external: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Competitor-alignment scoring (alignarnet.pl / align-distinct.pl in
+    competitors-scripts/ — the scoring half; the DBLP-specific format
+    converters are out of scope): an external system's clustering arrives
+    keyed by record CONTENT (the title-year analog), not by our internal
+    conv ids. Align the two sides on the content key — keys duplicated on
+    EITHER side are unalignable (the reference tracks duplicate
+    title-years and can only count-match them, alignarnet.pl:50-54) and
+    are excluded from scoring but kept in the accounting — then
+    pairwise-score the external clusters against groundtruth on the
+    matched subset: precision over the external system's pairs, recall
+    over matched groundtruth pairs (alignarnet.pl:36-47).
+
+    corpus_keys: (block_key, conv_id, key)
+    external:    (key, ext_cluster)
+    labels:      (block_key, conv_id, entity_id)
+
+    Returns per block: n_records, n_matched, pred/truth/correct pairs and
+    P/R/F1 over the matched subset (1.0/1.0/1.0 for blocks with no
+    alignable pairs, matching ``pairwise_prf``'s empty-denominator
+    convention). Join-based pair counting throughout — no pair
+    materialization, scales like ``pairwise_prf``.
+    """
+    ck = (
+        corpus_keys.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.min("block_key").alias("block_key"),
+            F.min("conv_id").alias("conv_id"),
+        )
+        .where(F.col("nc") == 1)
+    )
+    ex = (
+        external.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("ne"), F.min("ext_cluster").alias("ext_cluster"))
+        .where(F.col("ne") == 1)
+    )
+    matched = ck.join(ex, "key").select(
+        "block_key", "conv_id", F.col("ext_cluster").alias("cluster_id")
+    )
+    prf = pairwise_prf(matched, labels)
+    acct = (
+        corpus_keys.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .join(
+            matched.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_matched")),
+            "block_key",
+            "left",
+        )
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+    )
+    return acct.join(prf, "block_key", "left").select(
+        "block_key",
+        "n_records",
+        "n_matched",
+        F.coalesce("pred_pairs", F.lit(0.0)).alias("pred_pairs"),
+        F.coalesce("truth_pairs", F.lit(0.0)).alias("truth_pairs"),
+        F.coalesce("correct_pairs", F.lit(0.0)).alias("correct_pairs"),
+        F.coalesce("precision", F.lit(1.0)).alias("precision"),
+        F.coalesce("recall", F.lit(1.0)).alias("recall"),
+        F.coalesce("f1", F.lit(1.0)).alias("f1"),
+    )
+
+
 def result_stat(prf: DataFrame) -> DataFrame:
     """Cross-run result comparison (resultstat.pl:98-268).
 

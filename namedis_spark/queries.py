@@ -990,6 +990,121 @@ def pairwise_f1_q(spark, sf_dir):
     ))
 
 
+_PRF_TAIL_SQL = """
+    pred AS (SELECT block_key, CAST(sum(n * (n - 1) / 2) AS double) AS pred_pairs
+             FROM (SELECT block_key, cluster_id, count(*) AS n FROM j GROUP BY 1, 2)
+             GROUP BY 1),
+    tru AS (SELECT block_key, CAST(sum(n * (n - 1) / 2) AS double) AS truth_pairs
+            FROM (SELECT block_key, entity_id, count(*) AS n FROM j GROUP BY 1, 2)
+            GROUP BY 1),
+    corr AS (SELECT block_key, CAST(sum(n * (n - 1) / 2) AS double) AS correct_pairs
+             FROM (SELECT block_key, cluster_id, entity_id, count(*) AS n
+                   FROM j GROUP BY 1, 2, 3) GROUP BY 1)
+"""
+
+
+@q(
+    "external_alignment",
+    _DUCK_FEATURES
+    + f""",
+    ck0 AS (
+        SELECT focus_name AS block_key, conv_id,
+               focus_name || '|' || venue || '|' || CAST(year_from AS varchar)
+                 || '|' || CAST(n_turns AS varchar) AS key
+        FROM feats
+    ),
+    ck AS (
+        SELECT key, min(block_key) AS block_key, min(conv_id) AS conv_id
+        FROM ck0 GROUP BY key HAVING count(*) = 1
+    ),
+    ex0 AS (
+        SELECT focus_name || '|' || venue || '|' || CAST(year_from AS varchar)
+                 || '|' || CAST(n_turns AS varchar) AS key,
+               focus_name || '@' || venue AS ext_cluster
+        FROM feats
+    ),
+    ex AS (
+        SELECT key, min(ext_cluster) AS ext_cluster
+        FROM ex0 GROUP BY key HAVING count(*) = 1
+    ),
+    m AS (
+        SELECT ck.block_key, ck.conv_id, ex.ext_cluster AS cluster_id
+        FROM ck JOIN ex USING (key)
+    ),
+    truth AS (
+        SELECT conv_id, CAST(CAST(conv_id AS bigint) % 7 AS varchar) AS entity_id
+        FROM feats
+    ),
+    j AS (SELECT m.block_key, m.conv_id, m.cluster_id, t.entity_id
+          FROM m JOIN truth t USING (conv_id)),
+    {_PRF_TAIL_SQL.lstrip()},
+    acct AS (
+        SELECT block_key, CAST(count(*) AS bigint) AS n_records,
+               CAST(count(*) FILTER (WHERE conv_id IN (SELECT conv_id FROM m))
+                    AS bigint) AS n_matched
+        FROM ck0 GROUP BY 1
+    )
+    SELECT a.block_key, a.n_records, a.n_matched,
+           coalesce(p.pred_pairs, 0) AS pred_pairs,
+           coalesce(t.truth_pairs, 0) AS truth_pairs,
+           coalesce(c.correct_pairs, 0) AS correct_pairs,
+           round(coalesce(CASE WHEN p.pred_pairs > 0
+                               THEN c.correct_pairs / p.pred_pairs END,
+                          1.0), 6) AS precision,
+           round(coalesce(CASE WHEN t.truth_pairs > 0
+                               THEN c.correct_pairs / t.truth_pairs END,
+                          1.0), 6) AS recall,
+           round(coalesce(
+               CASE WHEN (CASE WHEN p.pred_pairs > 0
+                               THEN c.correct_pairs / p.pred_pairs ELSE 1 END)
+                       + (CASE WHEN t.truth_pairs > 0
+                               THEN c.correct_pairs / t.truth_pairs ELSE 1 END) > 0
+                    THEN 2 * (CASE WHEN p.pred_pairs > 0
+                                   THEN c.correct_pairs / p.pred_pairs ELSE 1 END)
+                           * (CASE WHEN t.truth_pairs > 0
+                                   THEN c.correct_pairs / t.truth_pairs ELSE 1 END)
+                         / ((CASE WHEN p.pred_pairs > 0
+                                  THEN c.correct_pairs / p.pred_pairs ELSE 1 END)
+                          + (CASE WHEN t.truth_pairs > 0
+                                  THEN c.correct_pairs / t.truth_pairs ELSE 1 END))
+               END, 1.0), 6) AS f1
+    FROM acct a
+    LEFT JOIN pred p USING (block_key)
+    LEFT JOIN tru t USING (block_key)
+    LEFT JOIN corr c USING (block_key)
+    """,
+)
+def external_alignment(spark, sf_dir):
+    """competitor-alignment scoring (alignarnet.pl / align-distinct.pl —
+    the transferable scoring half, see operators.evaluate.align_external):
+    a simulated external clustering (the venue-merge baseline an external
+    tool like Arnetminer effectively applies) keyed by record content
+    (focus|venue|year|n_turns — the title-year analog), aligned to the
+    corpus on that key with duplicate-key exclusion, then pairwise-scored
+    against the deterministic pseudo-truth per block."""
+    from namedis_spark.operators.evaluate import align_external
+
+    f = _features(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        "focus_name",
+        "venue",
+        F.col("year_from").cast("string"),
+        F.col("n_turns").cast("string"),
+    )
+    corpus_keys = f.select("block_key", "conv_id", key.alias("key"))
+    external = f.select(
+        key.alias("key"),
+        F.concat_ws("@", "focus_name", "venue").alias("ext_cluster"),
+    )
+    labels = f.select(
+        "block_key",
+        "conv_id",
+        (F.col("conv_id").cast("bigint") % 7).cast("string").alias("entity_id"),
+    )
+    return align_external(corpus_keys, external, labels)
+
+
 # ---------------------------------------------------------------------------
 # §2.3/2.4 corpus side tables
 # ---------------------------------------------------------------------------
@@ -2813,22 +2928,56 @@ def concept_pair_simi(spark, sf_dir):
     )
 
 
-@q("multimodal_features", None)  # binary plumbing — no SQL oracle (rows-only)
+def _multimodal_oracle() -> str:
+    """DuckDB twin of the stub decoder (operators.multimodal._decode_stub)
+    on text/plain payloads: payload = utf-8 bytes of ``text`` (ASCII in
+    the synthetic corpus, so character codes == byte values); feature =
+    [n_bytes, sum(first 256 bytes) % 997, first byte, last byte]. The PIL
+    image path stays behind the worker capability probe and is
+    golden/unit-tested — it never fires for text/plain media, so this
+    registered query is deterministic on every container."""
+    byte_sum = """
+        CASE WHEN length(text) = 0 THEN 0
+             ELSE list_reduce(
+                 list_transform(range(1, least(length(text), 256) + 1),
+                                i -> unicode(substr(text, CAST(i AS int), 1))),
+                 (a, b) -> a + b)
+        END"""
+    return f"""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+           CAST(octet_length(encode(text)) AS double) AS f_len,
+           CAST(({byte_sum}) % 997 AS double) AS f_checksum,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE unicode(substr(text, 1, 1)) END AS double) AS f_first,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE unicode(substr(text, length(text), 1)) END AS double)
+               AS f_last
+    FROM documents
+    """
+
+
+@q("multimodal_features", _multimodal_oracle())
 def multimodal_features(spark, sf_dir):
     """multimodal binary-column plumbing: docs → media table (binary
-    payload + typed metadata) → mapInPandas feature extraction (decode
-    stubbed deterministically; see operators.multimodal)."""
+    payload + typed metadata) → mapInPandas feature extraction. The stub
+    decode path is deterministic and hash-derived, so it carries a full
+    DuckDB oracle (VERDICT r4 #3); the real-image PIL path is exercised
+    by unit tests behind the worker capability probe (see
+    operators.multimodal)."""
     from namedis_spark.operators.multimodal import extract_features, to_media_table
 
     register_views(spark, sf_dir)
     media = to_media_table(spark.table("documents"))
-    return _assert_golden(
-        extract_features(media).select(
-            "doc_id", "media_type", "n_bytes",
-            F.round(F.element_at("feature", 2), 6).alias("f_checksum"),
-        ),
-        "multimodal_features",
-        sf_dir,
+    return extract_features(media).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f_len"),
+        F.round(F.element_at("feature", 2), 6).alias("f_checksum"),
+        F.round(F.element_at("feature", 3), 6).alias("f_first"),
+        F.round(F.element_at("feature", 4), 6).alias("f_last"),
     )
 
 
@@ -3169,6 +3318,104 @@ def chinese_name_flags(spark, sf_dir):
     return names.mapInPandas(udf, schema=schema)
 
 
+# deterministic phrase taxonomy over the synthetic corpus vocabulary,
+# shared by the fuzzy matcher query (golden-verified) and the exact-window
+# variant (oracle-verified)
+_CONCEPT_TERMS = [
+    "table scan", "hash join", "sort merge join (query engine)",
+    "window agg", "row group (columnar format)", "vector batch",
+    "query plan", "filter", "stream group", "data column",
+    "merge batch", "key value",
+]
+
+
+def _concept_term_tokens() -> list[tuple[str, str, int, int]]:
+    """(term, lemma, tpos, tlen) rows for each taxonomy term's MAIN
+    phrase (parenthesized context stripped), tokenized + lemmatized with
+    the same machinery as ``content_terms_expr`` — embedded as literals
+    in BOTH engines' queries so term tokenization cannot drift."""
+    import re as _re
+
+    from namedis_spark.functions.text import STOPWORDS, lemma
+
+    rows: list[tuple[str, str, int, int]] = []
+    for t in _CONCEPT_TERMS:
+        m = _re.match(r"^(.*?)\s*\(([^)]*)\)\s*$", t)
+        main = m.group(1) if m else t
+        toks = [
+            lemma(w)
+            for w in _re.split(r"[^a-z0-9]+", main.lower())
+            if w and w not in STOPWORDS
+        ]
+        for i, lm in enumerate(toks):
+            rows.append((t, lm, i, len(toks)))
+    return rows
+
+
+def _concept_match_exact_oracle() -> str:
+    rows = _concept_term_tokens()
+    vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', '{lm}', {tp}, {tl})"
+        for t, lm, tp, tl in rows
+    )
+    terms = content_terms_expr("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({terms}) AS lemma,
+               unnest(range(0, len({terms}))) AS pos
+        FROM documents
+    ),
+    tt(term, lemma, tpos, tlen) AS (VALUES {vals}),
+    w AS (
+        SELECT t.doc_id, tt.term, t.pos - tt.tpos AS w0, tt.tlen
+        FROM toks t JOIN tt USING (lemma)
+        GROUP BY 1, 2, 3, 4
+        HAVING count(DISTINCT tt.tpos) = tt.tlen
+    )
+    SELECT doc_id, term, CAST(count(*) AS bigint) AS n_hits
+    FROM w GROUP BY 1, 2
+    """
+
+
+@q("concept_match_exact", _concept_match_exact_oracle())
+def concept_match_exact(spark, sf_dir):
+    """Restricted EXACT-window concept matcher (the SQL-expressible
+    subset of matchTitle — the exact posting-intersection case,
+    ConceptNet.pm:3648-3822 before any fuzzy discount applies): a term
+    matches wherever its main-phrase lemma sequence appears as an
+    ordered contiguous run in the document's content-token stream
+    (stopword-transparent: positions are counted on kept tokens, the
+    same stream ``content_terms_expr`` gives both engines). Returns
+    (doc_id, term, n_hits). The full fuzzy path — windowed subset
+    enumeration, gap/suffix/context/inversion discounts — remains
+    golden-verified in ``concept_match_titles``."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    term_rows = _concept_term_tokens()
+    tt = F.broadcast(
+        spark.createDataFrame(
+            term_rows, "term string, lemma string, tpos int, tlen int"
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(content_terms_expr("text", "spark"))).alias(
+            "pos", "lemma"
+        ),
+    )
+    w = (
+        toks.join(tt, "lemma")
+        .groupBy(
+            "doc_id", "term", (F.col("pos") - F.col("tpos")).alias("w0"), "tlen"
+        )
+        .agg(F.countDistinct("tpos").alias("k"))
+        .where(F.col("k") == F.col("tlen"))
+    )
+    return w.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+
+
 @q("concept_match_titles", None)  # fuzzy windowed matcher — no SQL oracle
 def concept_match_titles(spark, sf_dir):
     """fuzzy taxonomy concept matching (matchTitle / matchSnippet /
@@ -3185,13 +3432,9 @@ def concept_match_titles(spark, sf_dir):
     register_views(spark, sf_dir)
     docs = spark.table("documents")
     # deterministic taxonomy over the known synthetic vocabulary: engine
-    # phrases with parenthesized disambiguation contexts
-    terms = [
-        "table scan", "hash join", "sort merge join (query engine)",
-        "window agg", "row group (columnar format)", "vector batch",
-        "query plan", "filter", "stream group", "data column",
-        "merge batch", "key value",
-    ]
+    # phrases with parenthesized disambiguation contexts (shared with the
+    # oracle-verified exact-window variant above)
+    terms = _CONCEPT_TERMS
     # df table pruned to the bounded taxonomy vocabulary before collect —
     # the matcher only looks tfiaf up by term-token lemmas (see
     # concept_pair_simi for the argument); O(|taxonomy|) driver rows, not

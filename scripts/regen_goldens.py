@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GOLDEN_QUERIES = ["concept_pair_simi", "concept_match_titles", "multimodal_features"]
+GOLDEN_QUERIES = ["concept_pair_simi", "concept_match_titles"]
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 

@@ -379,6 +379,48 @@ def test_thickened_dictionaries_recall():
     assert not test_lang(s, FR_WORDS, en_map)
 
 
+def test_english_cognates_stay_english():
+    """ADVICE r4 regression: thick FR/DE lists must not make plain English
+    sentences vote foreign — English homographs/cognates of foreign
+    surfaces (constant, porter, hotel, million, changes, kind, bad, the)
+    classify as shared or English, never foreign-only."""
+    from namedis_spark.functions.langdata import (
+        DE_WORDS,
+        FR_ONLY,
+        FR_WORDS,
+        build_en_map,
+    )
+    from namedis_spark.operators.textops import test_lang
+
+    en_map = build_en_map()
+    english = [
+        "a simple model with constant normal parameters",
+        "the porter carried the bags to the hotel",
+        "the company announced important changes to the service",
+        "he was kind and the weather was bad",
+        "a million users visited the hotel website",
+        "the patient was a kind man with a hat",
+    ]
+    for s in english:
+        assert not test_lang(s, FR_WORDS, en_map), s
+        assert not test_lang(s, DE_WORDS, en_map), s
+    # 'the' (accent-stripped thé) must never be a French vote, and common
+    # English homographs must have left the foreign-only sets
+    for w in ("the", "but", "constant", "porter", "hotel", "million",
+              "change", "changes", "force", "content"):
+        assert w not in FR_ONLY, w
+    # the thickening must not have cost foreign recall (sanity twins of
+    # the recall test fixtures)
+    assert test_lang(
+        "cette etude presentera des resultats importants et originaux",
+        FR_WORDS, en_map,
+    )
+    assert test_lang(
+        "der lehrer erklaerte wichtige grundlagen und zeigte zahlreiche beispiele",
+        DE_WORDS, en_map,
+    )
+
+
 def test_language_id_operator_votes(spark):
     from namedis_spark.operators.textops import language_id
 

@@ -22,7 +22,10 @@ import pytest
 
 from namedis_spark.queries import _assert_golden
 
-GOLDEN_QUERIES = ("concept_pair_simi", "multimodal_features", "concept_match_titles")
+# multimodal_features graduated to a full DuckDB oracle in round 5 (its
+# stub decoder is SQL-expressible); only the genuinely non-expressible
+# fuzzy matcher family stays golden-verified.
+GOLDEN_QUERIES = ("concept_pair_simi", "concept_match_titles")
 GOLDENS_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "namedis_spark",
