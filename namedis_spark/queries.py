@@ -2135,17 +2135,6 @@ def _xml_restore_oracle() -> str:
     return f"SELECT doc_id, {expr} AS restored FROM documents"
 
 
-@q("xml_entity_restore", _xml_restore_oracle())
-def xml_entity_restore(spark, sf_dir):
-    """XML-entity restore chain (clean.pl:210-237, restoreXmlEntity
-    NLPUtil.pm:764-773)."""
-    from namedis_spark.operators.textops import restore_xml_entities
-
-    register_views(spark, sf_dir)
-    docs = spark.table("documents")
-    return restore_xml_entities(docs).select("doc_id", "restored")
-
-
 def _strip_publisher_oracle() -> str:
     from namedis_spark.operators.textops import PUBLISHER_PATTERNS
 
@@ -2155,39 +2144,52 @@ def _strip_publisher_oracle() -> str:
     return f"SELECT doc_id, trim({expr}) AS stripped FROM documents"
 
 
-@q("strip_publisher", _strip_publisher_oracle())
-def strip_publisher_q(spark, sf_dir):
-    """publisher/page-count/year strip chain (removePublisher,
-    NLPUtil.pm:1522-1548)."""
-    from namedis_spark.operators.textops import strip_publisher
+@q(
+    "doc_restore_ops",
+    f"""
+    SELECT doc_id, 'xml' AS variant, restored AS text_out
+    FROM ({_xml_restore_oracle()})
+    UNION ALL
+    SELECT doc_id, 'publisher' AS variant, stripped AS text_out
+    FROM ({_strip_publisher_oracle()})
+    """,
+)
+def doc_restore_ops(spark, sf_dir):
+    """Document restore/strip chains as one variant-tagged union (the
+    ann_topk pattern — the driver verifies at most 50 queries, so the
+    two per-doc string-transform chains share one slot, each variant
+    keeping its own oracle inside the union):
+
+    * ``xml``: XML-entity restore chain (clean.pl:210-237,
+      restoreXmlEntity NLPUtil.pm:764-773);
+    * ``publisher``: publisher/page-count/year strip chain
+      (removePublisher, NLPUtil.pm:1522-1548)."""
+    from namedis_spark.operators.textops import (
+        restore_xml_entities,
+        strip_publisher,
+    )
 
     register_views(spark, sf_dir)
-    return strip_publisher(spark.table("documents")).select("doc_id", "stripped")
+    docs = spark.table("documents")
+    xml = restore_xml_entities(docs).select(
+        "doc_id", F.lit("xml").alias("variant"), F.col("restored").alias("text_out")
+    )
+    pub = strip_publisher(docs).select(
+        "doc_id",
+        F.lit("publisher").alias("variant"),
+        F.col("stripped").alias("text_out"),
+    )
+    return xml.unionByName(pub)
 
 
 @q(
-    "token_stats",
+    "text_quality_stats",
     f"""
     SELECT doc_id,
            CAST(length(text) AS bigint) AS n_chars,
            CAST(len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')) AS bigint) AS n_ws_tokens,
            CAST(len({tokens_expr('text', 'duckdb')}) AS bigint) AS n_tokens,
-           CAST(len(list_distinct({tokens_expr('text', 'duckdb')})) AS bigint) AS n_distinct
-    FROM documents
-    """,
-)
-def token_stats_q(spark, sf_dir):
-    """token counting (whitespace + regex + distinct terms)."""
-    from namedis_spark.operators.textops import token_stats
-
-    register_views(spark, sf_dir)
-    return token_stats(spark.table("documents"))
-
-
-@q(
-    "quality_scores",
-    f"""
-    SELECT doc_id,
+           CAST(len(list_distinct({tokens_expr('text', 'duckdb')})) AS bigint) AS n_distinct,
            round(len(list_filter({tokens_expr('text', 'duckdb')},
                                  t -> list_contains([{stopword_list_sql()}], t)))
                  / CAST(greatest(len({tokens_expr('text', 'duckdb')}), 1) AS double), 6)
@@ -2201,12 +2203,19 @@ def token_stats_q(spark, sf_dir):
     FROM documents
     """,
 )
-def quality_scores_q(spark, sf_dir):
-    """quality scoring: stopword/alpha ratios, mean token length."""
-    from namedis_spark.operators.textops import quality_scores
+def text_quality_stats_q(spark, sf_dir):
+    """Token counting (whitespace + regex + distinct terms) and quality
+    scoring (stopword/alpha ratios, mean token length) as ONE per-doc
+    stats table — the two former queries `token_stats` and
+    `quality_scores` joined on doc_id to fit the driver's 50-query
+    verification window; both operators and all eight metric columns
+    stay independently oracle-checked (the value hash covers every
+    column)."""
+    from namedis_spark.operators.textops import quality_scores, token_stats
 
     register_views(spark, sf_dir)
-    return quality_scores(spark.table("documents"))
+    docs = spark.table("documents")
+    return token_stats(docs).join(quality_scores(docs), "doc_id")
 
 
 def _language_id_oracle() -> str:
@@ -3919,15 +3928,14 @@ def stage2_coauthor_boost_q(spark, sf_dir):
 # FIRST in the exported ordering — the driver checks a bounded prefix of
 # the registry, and definition order had silently dropped the last five.
 _VERIFY_FIRST = (
-    # round-4 additions, never driver-verified yet
-    "ann_topk",
-    "result_stat",
-    # the five queries a bounded driver window had starved through round 2
-    "stage2_coauthor_boost",
-    "blocking_candidates",
-    "block_term_vectors",
-    "coauthor_evidence_errors",
-    "jaccard_type_pairs",
+    # round-5 additions / verification-mode changes, never driver-verified
+    # in their current form (the driver window holds 50 queries; the
+    # registry is sized to exactly 50 — this ordering is belt-and-braces)
+    "concept_match_exact",
+    "external_alignment",
+    "multimodal_features",
+    "doc_restore_ops",
+    "text_quality_stats",
 )
 
 
