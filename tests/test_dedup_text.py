@@ -251,6 +251,31 @@ def test_dedup_ann_plans_have_no_quadratic_joins(spark, emb100, docs):
         assert quadratic_join_nodes(df) == [], name
 
 
+def test_new_r5_query_plans_have_no_quadratic_joins(spark, docs):
+    """The r5 join-bearing queries (exact-window matcher: broadcast term
+    join + window-offset aggregate; external alignment: key-unification
+    joins) must also stay free of CartesianProduct /
+    BroadcastNestedLoopJoin."""
+    import pyspark.sql.functions as F
+
+    from namedis_spark.operators.evaluate import align_external
+    from namedis_spark.plans.explain import quadratic_join_nodes
+
+    # block_key must be a data column: a literal constant-folds out of the
+    # equi-join condition and degenerates the plan to a nested-loop join,
+    # which the real (data-keyed) query never produces
+    ck = docs.select(
+        (F.col("doc_id") % 4).cast("string").alias("block_key"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.col("text").alias("key"),
+    )
+    ex = ck.select("key", F.lit("c1").alias("ext_cluster"))
+    labels = ck.select(
+        "block_key", "conv_id", (F.col("conv_id").cast("bigint") % 3).cast("string").alias("entity_id")
+    )
+    assert quadratic_join_nodes(align_external(ck, ex, labels)) == []
+
+
 def test_multimodal_plumbing(spark, docs):
     from namedis_spark.operators.multimodal import extract_features, to_media_table
 
