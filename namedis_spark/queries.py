@@ -3376,10 +3376,14 @@ def _concept_match_exact_oracle() -> str:
     ),
     tt(term, lemma, tpos, tlen) AS (VALUES {vals}),
     w AS (
+        -- (doc_id, term, w0, tpos) is unique by construction (doc
+        -- positions unique via the ordinal unnest; term token rows
+        -- unique), so a plain count equals the distinct-tpos count and
+        -- needs no distinct expansion
         SELECT t.doc_id, tt.term, t.pos - tt.tpos AS w0, tt.tlen
         FROM toks t JOIN tt USING (lemma)
         GROUP BY 1, 2, 3, 4
-        HAVING count(DISTINCT tt.tpos) = tt.tlen
+        HAVING count(*) = tt.tlen
     )
     SELECT doc_id, term, CAST(count(*) AS bigint) AS n_hits
     FROM w GROUP BY 1, 2
@@ -3412,12 +3416,16 @@ def concept_match_exact(spark, sf_dir):
             "pos", "lemma"
         ),
     )
+    # (doc_id, term, w0, tpos) is unique by construction — posexplode
+    # gives unique doc positions and the term table is unique on
+    # (term, tpos) — so count(*) equals countDistinct(tpos) and plans as
+    # ONE partial-aggregated exchange instead of a distinct expansion
     w = (
         toks.join(tt, "lemma")
         .groupBy(
             "doc_id", "term", (F.col("pos") - F.col("tpos")).alias("w0"), "tlen"
         )
-        .agg(F.countDistinct("tpos").alias("k"))
+        .agg(F.count(F.lit(1)).alias("k"))
         .where(F.col("k") == F.col("tlen"))
     )
     return w.groupBy("doc_id", "term").agg(
