@@ -85,3 +85,27 @@ def test_cc_metrics_lineage_written(spark, tmp_path):
     assert {"partition_id", "n_rows", "round", "path", "lineage", "wall_sec"} <= set(m.columns)
     assert m["round"].nunique() >= 1
     assert (m["lineage"].str.contains("large_star")).all()
+
+
+def test_round_row_count_raises_on_missing_round(spark, tmp_path):
+    """ADVICE r4: a non-local checkpoint root or empty round must fail
+    loudly — silently returning 0 rows would corrupt n_docs/idf on
+    resume (pipeline reads n_convs from the features snapshot footers)."""
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        store.round_row_count("features", 7)
+
+
+def test_snapshot_roundtrip_and_footer_count(spark, tmp_path):
+    """Round snapshots (zstd since r5) must read back identically and
+    report exact footer row counts."""
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    df = spark.createDataFrame(
+        [(str(i), f"t{i % 3}") for i in range(100)], "src string, dst string"
+    )
+    out = store.write_round("edges", 0, df, lineage={"op": "test"})
+    store.flush()
+    assert store.round_row_count("edges", 0) == 100
+    assert sorted(r["src"] for r in out.collect()) == sorted(
+        r["src"] for r in df.collect()
+    )

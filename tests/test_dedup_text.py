@@ -525,3 +525,21 @@ def test_embedding_lsh_bucket_cap(spark):
     }
     assert not any(x < 12 and y < 12 for x, y in cands)
     assert (100, 101) in cands
+
+
+def test_corpus_count_memoized(spark, emb100):
+    """The adaptive-plane corpus count must be computed once per
+    (session, semantic plan) — repeated LSH invocations over the same
+    corpus reuse the scalar instead of re-scanning (r4 ADVICE /
+    embedding_cosine_dups forensics)."""
+    from namedis_spark.operators import similarity as S
+
+    S._COUNT_MEMO.clear()
+    n1 = S._corpus_count(emb100)
+    assert n1 == emb100.count()
+    assert len(S._COUNT_MEMO) == 1
+    # poison the memo: a second call must hit it, not recount
+    key = next(iter(S._COUNT_MEMO))
+    S._COUNT_MEMO[key] = 12345
+    assert S._corpus_count(emb100) == 12345
+    S._COUNT_MEMO.clear()
