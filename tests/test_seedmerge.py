@@ -1,0 +1,361 @@
+"""seedMergeSharingCoauthor / clusterAuthors ports (NLPUtil.pm:3714-4090).
+
+Parity oracle: a test-local literal transcription of the reference's Perl
+control flow (absorb-and-rescan loops, global-argmax-recompute loop),
+written independently of the operator module, plus a DuckDB recursive-CTE
+transitive closure for the collaborator-partition half.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from namedis_spark.operators.seedmerge import (
+    cluster_names_by_coauthorship,
+    merge_sharing_coauthor_sets,
+    seed_merge_block,
+    seed_merge_sharing_coauthor,
+)
+
+
+# ---------------------------------------------------------------- reference
+# transcriptions (kept deliberately close to the Perl's shape)
+
+
+def _ref_merge_sharing(clusters, conv_co):
+    """mergeSharingCoauthor NLPUtil.pm:3904-3941, list-order scan."""
+    clusts = [list(c[1]) for c in clusters]
+    ids = [c[0] for c in clusters]
+    names = [set().union(*(conv_co.get(c, set()) for c in cl)) if cl else set() for cl in clusts]
+    i = 0
+    while i < len(clusts):
+        if clusts[i] is None:
+            i += 1
+            continue
+        merged = False
+        for j in range(len(clusts)):
+            if i == j or clusts[j] is None:
+                continue
+            if len(names[i] & names[j]) >= 2:
+                clusts[i].extend(clusts[j])
+                names[i] |= names[j]
+                clusts[j] = None
+                merged = True  # Perl: $i--; last;  -> rescan same i
+                break
+        if not merged:
+            i += 1
+    return [
+        (ids[k], clusts[k]) for k in range(len(clusts)) if clusts[k] is not None
+    ]
+
+
+def _partition(clusters):
+    """Order-free view: frozenset of frozensets of conv ids."""
+    return frozenset(frozenset(c[1]) for c in clusters)
+
+
+def _ref_cluster_authors(names, collab):
+    """clusterAuthors NLPUtil.pm:3714-3755 greedy absorb loop."""
+    clusters = [[n] for n in names]
+    for i in range(len(clusters)):
+        if clusters[i] is None:
+            continue
+        for j in range(len(clusters)):
+            if j == i or clusters[j] is None:
+                continue
+            if any((a, b) in collab or (b, a) in collab
+                   for a in clusters[i] for b in clusters[j]):
+                clusters[i].extend(clusters[j])
+                clusters[j] = None
+    return frozenset(frozenset(c) for c in clusters if c is not None)
+
+
+# ------------------------------------------------------------ pure-python core
+
+
+def test_merge_sharing_two_shared_merges():
+    co = {"c1": {"x", "y", "q"}, "c2": {"x", "y"}, "c3": {"z"}}
+    out = merge_sharing_coauthor_sets([("a", ["c1"]), ("b", ["c2"]), ("d", ["c3"])], co)
+    assert _partition(out) == _partition(
+        [("a", ["c1", "c2"]), ("d", ["c3"])]
+    )
+
+
+def test_merge_sharing_one_shared_never_merges():
+    co = {"c1": {"x", "y"}, "c2": {"x", "z"}, "c3": {"y", "z"}}
+    out = merge_sharing_coauthor_sets(
+        [("a", ["c1"]), ("b", ["c2"]), ("d", ["c3"])], co
+    )
+    assert len(out) == 3
+
+
+def test_merge_sharing_union_unlock():
+    """The union fixpoint is richer than pairwise CC: once A absorbs B,
+    their combined name set can trip the >=2 trigger with C even though
+    each of A,B alone shares only one name with C."""
+    co = {"a1": {"x", "p"}, "a2": {"y", "q"}, "b": {"x", "y"}}
+    # cluster A = [a1, a2] (pre-merged stage-1), cluster B = [b]
+    out = merge_sharing_coauthor_sets([("A", ["a1", "a2"]), ("B", ["b"])], co)
+    assert _partition(out) == frozenset({frozenset({"a1", "a2", "b"})})
+    # pairwise, neither a1 nor a2 alone merges with b
+    out2 = merge_sharing_coauthor_sets(
+        [("A1", ["a1"]), ("A2", ["a2"]), ("B", ["b"])], co
+    )
+    assert len(out2) == 3
+
+
+def test_merge_sharing_matches_reference_transcription_randomized():
+    rng = random.Random(20260821)
+    pool = [f"n{i}" for i in range(12)]
+    for _ in range(200):
+        convs = {f"c{i}": set(rng.sample(pool, rng.randint(1, 4))) for i in range(10)}
+        ids = sorted(convs)
+        rng.shuffle(ids)
+        clusters = []
+        k = 0
+        while ids:
+            take = rng.randint(1, 3)
+            clusters.append((f"K{k}", ids[:take]))
+            ids = ids[take:]
+            k += 1
+        got = merge_sharing_coauthor_sets(clusters, convs)
+        ref = _ref_merge_sharing(clusters, convs)
+        assert _partition(got) == _partition(ref)
+
+
+def test_seed_merge_basic_pull_and_recompute():
+    """ion1 shares 2 with seed S directly; ion2 shares 2 with S only
+    after S absorbs ion1 (the reference recomputes after every merge,
+    NLPUtil.pm:4047-4055)."""
+    co = {
+        "s1": {"a", "b"},
+        "i1": {"a", "b", "c"},
+        "i2": {"c", "d"},  # shares {c} with s1∪i1? -> {a,b,c} ∩ {c,d} = {c}: 1
+    }
+    # make i2 share 2 with the grown seed: add 'b'
+    co["i2"] = {"c", "b"}
+    assignment, n = seed_merge_block(
+        [("I1", ["i1"]), ("I2", ["i2"])], [("S", ["s1"])], co
+    )
+    assert assignment["i1"] == ("seed:S", True, False)
+    assert assignment["i2"] == ("seed:S", True, False)
+    assert assignment["s1"] == ("seed:S", True, False)
+    assert n == 2
+
+
+def test_seed_merge_single_shared_stays_ion():
+    co = {"s1": {"a", "b"}, "i1": {"a", "z"}}
+    assignment, n = seed_merge_block([("I1", ["i1"])], [("S", ["s1"])], co)
+    assert n == 0
+    assert assignment["i1"] == ("ion:I1", False, False)
+
+
+def test_seed_merge_tie_flags_ambiguous_lowest_seed():
+    """Two seeds tie at the max shared count: the reference prompts a
+    human (NLPUtil.pm:4011-4039); the batch port picks the lowest seed id
+    and flags the ion's conversations."""
+    co = {"s1": {"a", "b"}, "s2": {"a", "b"}, "i1": {"a", "b"}}
+    assignment, _ = seed_merge_block(
+        [("I1", ["i1"])], [("S1", ["s1"]), ("S2", ["s2"])], co
+    )
+    assert assignment["i1"] == ("seed:S1", True, True)
+    assert assignment["s1"][2] is False
+
+
+def test_seed_merge_seed_convs_removed_from_ions():
+    """A conversation already in a seed is dropped from its ion before
+    name unions are computed (NLPUtil.pm:3956-3963)."""
+    co = {"s1": {"a", "b"}, "x": {"p", "q"}, "i2": {"p", "q"}}
+    # ion I1 = [s1(dup), x]; after dedup its names are {p,q}, NOT {a,b,p,q}
+    assignment, _ = seed_merge_block(
+        [("I1", ["s1", "x"]), ("I2", ["i2"])], [("S", ["s1"])], co
+    )
+    assert assignment["s1"] == ("seed:S", True, False)
+    # I1's residue {x} shares nothing with the seed; it merges with I2
+    # through the leftover mergeSharingCoauthor pass ({p,q} shared)
+    assert assignment["x"][0] == assignment["i2"][0]
+    assert assignment["x"][1] is False
+
+
+def test_seed_merge_matches_reference_transcription_when_unambiguous():
+    """Randomized parity vs a literal transcription of the Perl loop,
+    restricted to runs that never hit the interactive tie branch (there
+    the reference's behavior is human/hash-order and any deterministic
+    choice is in-spec)."""
+    rng = random.Random(42)
+
+    def ref_seed_merge(ions, seeds, conv_co):
+        seed_convs = {c for _, cs in seeds for c in cs}
+        ions = [(cid, [c for c in cs if c not in seed_convs]) for cid, cs in ions]
+        ions = [(cid, cs) for cid, cs in ions if cs]
+        ion_names = {cid: set().union(*(conv_co.get(c, set()) for c in cs))
+                     for cid, cs in ions}
+        seed_names = {cid: set().union(*(conv_co.get(c, set()) for c in cs))
+                      for cid, cs in seeds}
+        seed_members = {cid: list(cs) for cid, cs in seeds}
+        ion_members = dict(ions)
+        ambiguous_seen = False
+        while True:
+            maxs, closest = 0, {}
+            for icid in sorted(ion_members):
+                for scid in sorted(seed_members):
+                    sh = len(ion_names[icid] & seed_names[scid])
+                    if sh > maxs:
+                        maxs, closest = sh, {icid: [scid]}
+                    elif sh == maxs and icid in closest:
+                        closest[icid].append(scid)
+            if maxs <= 1:
+                break
+            ion = sorted(closest)[0]
+            cands = closest[ion]
+            if len(cands) > 1:
+                ambiguous_seen = True
+            chosen = cands[0]
+            seed_members[chosen].extend(ion_members[ion])
+            seed_names[chosen] |= ion_names[ion]
+            del ion_members[ion], ion_names[ion]
+        return seed_members, dict(ion_members), ambiguous_seen
+
+    pool = [f"n{i}" for i in range(10)]
+    for _ in range(150):
+        conv_co = {f"c{i}": set(rng.sample(pool, rng.randint(1, 4))) for i in range(12)}
+        ids = sorted(conv_co)
+        seeds = [("S0", ids[:2]), ("S1", ids[2:4])]
+        rest = ids[4:]
+        ions = [(f"I{k}", rest[k * 2:(k + 1) * 2]) for k in range(4)]
+        ref_seeds, ref_ions, ambiguous = ref_seed_merge(ions, seeds, conv_co)
+        got, _ = seed_merge_block(ions, seeds, conv_co)
+        if ambiguous:
+            continue  # interactive branch: reference defers to a human
+        for scid, members in ref_seeds.items():
+            for c in members:
+                assert got[c][0] == f"seed:{scid}", (c, got[c])
+        leftover_ref = _partition(_ref_merge_sharing(sorted(ref_ions.items()), conv_co))
+        leftover_got = frozenset(
+            frozenset(c for c, (lab2, _, _) in got.items() if lab2 == lab)
+            for lab in {v[0] for v in got.values() if v[0].startswith("ion:")}
+        )
+        assert leftover_got == leftover_ref
+
+
+# ------------------------------------------------------------- Spark operators
+
+
+def _features(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, block_key string, focus_name string, coauthors array<string>"
+    )
+
+
+def test_seed_merge_operator_parity_per_block(spark):
+    rows = [
+        # block b1: seed pulls i1 then i2; i3 isolated
+        ("s1", "b1", "f", ["a", "b"]),
+        ("i1", "b1", "f", ["a", "b", "c"]),
+        ("i2", "b1", "f", ["c", "b"]),
+        ("i3", "b1", "f", ["zz"]),
+        # block b2: no seeds -> leftover merge only
+        ("j1", "b2", "g", ["p", "q"]),
+        ("j2", "b2", "g", ["p", "q"]),
+        ("j3", "b2", "g", ["r"]),
+    ]
+    feats = _features(spark, rows)
+    ion = spark.createDataFrame(
+        [("i1", "I1"), ("i2", "I2"), ("i3", "I3"), ("j1", "J1"), ("j2", "J2"), ("j3", "J3")],
+        "conv_id string, cluster_id string",
+    )
+    seed = spark.createDataFrame([("s1", "S")], "conv_id string, seed_id string")
+    out = {
+        r["conv_id"]: (r["cluster_id"], r["is_seed"], r["ambiguous"])
+        for r in seed_merge_sharing_coauthor(feats, ion, seed).collect()
+    }
+    assert out["s1"] == ("seed:S", True, False)
+    assert out["i1"] == ("seed:S", True, False)
+    assert out["i2"] == ("seed:S", True, False)
+    assert out["i3"] == ("ion:I3", False, False)
+    assert out["j1"][0] == out["j2"][0] != out["j3"][0]
+    assert not out["j1"][1] and not out["j3"][1]
+
+
+def test_seed_merge_operator_singleton_passthrough(spark):
+    """Conversations absent from both assignment tables enter as
+    singleton ions (clust.pl:920-923)."""
+    feats = _features(spark, [("c1", "b", "f", ["a"]), ("c2", "b", "f", ["b"])])
+    empty_ion = spark.createDataFrame([], "conv_id string, cluster_id string")
+    empty_seed = spark.createDataFrame([], "conv_id string, seed_id string")
+    out = {
+        r["conv_id"]: r["cluster_id"]
+        for r in seed_merge_sharing_coauthor(feats, empty_ion, empty_seed).collect()
+    }
+    assert out == {"c1": "ion:c1", "c2": "ion:c2"}
+
+
+def _collab_edges(rows):
+    collab = set()
+    for _, _, focus, coas in rows:
+        authors = [focus] + list(coas)
+        for a in authors:
+            for b in authors:
+                if a != b:
+                    collab.add((a, b))
+    return collab
+
+
+def test_cluster_names_matches_reference_greedy_and_recursive_cte(spark):
+    rows = [
+        ("c1", "b", "alice", ["bob"]),
+        ("c2", "b", "bob", ["carol"]),
+        ("c3", "b", "dave", ["erin"]),
+        ("c4", "b", "frank", []),
+    ]
+    feats = _features(spark, rows)
+    names = ["alice", "bob", "carol", "dave", "erin", "frank", "ghost"]
+    out = cluster_names_by_coauthorship(spark, feats, names)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["cluster_name"], set()).add(r["name"])
+    got_partition = frozenset(frozenset(v) for v in got.values())
+
+    ref = _ref_cluster_authors(names, _collab_edges(rows))
+    assert got_partition == ref
+    assert frozenset({"alice", "bob", "carol"}) in got_partition
+    assert frozenset({"ghost"}) in got_partition
+
+    # independent oracle: DuckDB recursive CTE over the same edge list
+    import duckdb
+
+    edges = sorted(
+        {(a, b) for (a, b) in _collab_edges(rows) if a < b and
+         a in set(names) and b in set(names)}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src text, dst text)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE n(name text)")
+    con.executemany("INSERT INTO n VALUES (?)", [(x,) for x in names])
+    cte = """
+    WITH RECURSIVE reach(name, peer) AS (
+        SELECT name, name FROM n
+        UNION
+        SELECT r.name, CASE WHEN e.src = r.peer THEN e.dst ELSE e.src END
+        FROM reach r JOIN e ON e.src = r.peer OR e.dst = r.peer
+    )
+    SELECT name, min(peer) AS root FROM reach GROUP BY name
+    """
+    oracle = {r[0]: r[1] for r in con.execute(cte).fetchall()}
+    oracle_partition = {}
+    for nme, root in oracle.items():
+        oracle_partition.setdefault(root, set()).add(nme)
+    assert got_partition == frozenset(frozenset(v) for v in oracle_partition.values())
+
+
+def test_cluster_names_restricts_to_requested_list(spark):
+    """A collaborator NOT in the requested list must not bridge two
+    requested names (the reference restricts to @authors)."""
+    rows = [("c1", "b", "x", ["bridge"]), ("c2", "b", "y", ["bridge"])]
+    feats = _features(spark, rows)
+    out = cluster_names_by_coauthorship(spark, feats, ["x", "y"])
+    clusters = {r["name"]: r["cluster_name"] for r in out.collect()}
+    assert clusters["x"] != clusters["y"]
