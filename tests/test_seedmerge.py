@@ -359,3 +359,22 @@ def test_cluster_names_restricts_to_requested_list(spark):
     out = cluster_names_by_coauthorship(spark, feats, ["x", "y"])
     clusters = {r["name"]: r["cluster_name"] for r in out.collect()}
     assert clusters["x"] != clusters["y"]
+
+
+def test_seedmerge_plans_have_no_quadratic_joins(spark):
+    """Scale discipline for the new join-bearing operators: the name
+    restriction must plan as broadcast hash semijoins and the assignment
+    joins as equi-joins — no CartesianProduct / BroadcastNestedLoopJoin."""
+    from namedis_spark.plans.explain import quadratic_join_nodes
+
+    rows = [(f"c{i}", f"b{i % 3}", f"f{i % 5}", [f"a{i % 7}", f"a{(i + 1) % 7}"])
+            for i in range(30)]
+    feats = _features(spark, rows)
+    names = [f"a{i}" for i in range(7)]
+    cl = cluster_names_by_coauthorship(spark, feats, names)
+    assert quadratic_join_nodes(cl) == []
+
+    ion = feats.select("conv_id", F.col("conv_id").alias("cluster_id"))
+    seed = spark.createDataFrame([("c0", "S")], "conv_id string, seed_id string")
+    merged = seed_merge_sharing_coauthor(feats, ion, seed)
+    assert quadratic_join_nodes(merged) == []
