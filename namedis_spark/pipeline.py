@@ -48,6 +48,7 @@ def run(
     params: ScoringParams | None = None,
     resume: bool = False,
     ambiguity_rounds: int = 3,
+    seeds: DataFrame | None = None,
 ) -> PipelineResult:
     import os
     import sys
@@ -259,6 +260,51 @@ def run(
 
     # -- clustering (per-round snapshots inside) --------------------------
     edges = edges_above_threshold(scored, params)
+    if seeds is not None:
+        # Groundtruth-seed pull (clust.pl:946-957: with seedClusterKeys,
+        # stage-1 clusters go through seedMergeSharingCoauthor before stage
+        # 2). Composition for a conv-pair engine: CC over the stage-1
+        # mergeable edges alone gives the stage-1 "ion" clusters; the
+        # per-block greedy seed merge decides which ions each seed absorbs;
+        # its verdict enters the final closure as mandatory hub edges, so
+        # seed-pulled conversations are guaranteed co-clustered whatever
+        # their stage-2 scores. seeds: (conv_id, seed_id). The merge table
+        # (with its `ambiguous` labeling-aid flags) is snapshotted for
+        # inspection. Zero cost and identical plan when seeds is None.
+        from namedis_spark.operators.cluster import connected_components
+        from namedis_spark.operators.seedmerge import seed_merge_sharing_coauthor
+
+        s1_cc = connected_components(
+            spark,
+            scored.where(F.col("stage1_mergeable")).select(
+                F.col("conv_id1").alias("src"), F.col("conv_id2").alias("dst")
+            ),
+        )
+        ion_assign = (
+            features.select(F.col("conv_id").alias("node"))
+            .join(s1_cc, "node", "left")
+            .select(
+                F.col("node").alias("conv_id"),
+                F.coalesce("cluster_id", "node").alias("cluster_id"),
+            )
+        )
+        seed_merged = seed_merge_sharing_coauthor(features, ion_assign, seeds)
+        seed_merged = store.write_round(
+            "seed_merge", 0, seed_merged, lineage={"op": "seed_merge"}, blocking=False
+        )
+        hubs = seed_merged.groupBy("cluster_id").agg(
+            F.min("conv_id").alias("hub"), F.first("block_key").alias("block_key")
+        )
+        seed_edges = (
+            seed_merged.join(hubs.select("cluster_id", "hub"), "cluster_id")
+            .where(F.col("conv_id") != F.col("hub"))
+            .select(
+                "block_key",
+                F.col("conv_id").alias("conv_id1"),
+                F.col("hub").alias("conv_id2"),
+            )
+        )
+        edges = edges.unionByName(seed_edges)
     assignments = assignments_from_edges(
         spark, features, edges, store=store, resume=resume
     )

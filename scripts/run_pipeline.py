@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out", required=True, help="output dir for assignments parquet")
     ap.add_argument("--labels", help="parquet dir of labels for evaluation")
+    ap.add_argument(
+        "--seeds",
+        help="parquet dir of groundtruth seed membership (conv_id, seed_id): "
+        "stage-1 clusters are pulled into seeds by shared coauthors "
+        "(seedMergeSharingCoauthor) before the final closure",
+    )
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
@@ -61,8 +67,10 @@ def main() -> None:
     if args.threshold is not None:
         params.threshold = args.threshold
 
+    seeds = spark.read.parquet(args.seeds) if args.seeds else None
     res = pipeline.run(
-        spark, transcripts, args.checkpoint, labels=labels, params=params, resume=args.resume
+        spark, transcripts, args.checkpoint, labels=labels, params=params,
+        resume=args.resume, seeds=seeds,
     )
     res.assignments.write.mode("overwrite").parquet(args.out)
 

@@ -52,3 +52,46 @@ def test_pipeline_determinism_two_runs(spark, fixture_data, tmp_path_factory):
     assert sorted(map(tuple, r1.assignments.collect())) == sorted(
         map(tuple, r2.assignments.collect())
     )
+
+
+def test_pipeline_with_seeds_coclusters_seed_members(spark, fixture_data, tmp_path_factory):
+    """Groundtruth-seed pull (clust.pl:946-957): convs assigned to the
+    same seed cluster must land in the same final cluster regardless of
+    their stage-2 scores; the seed-merge table (with the `ambiguous`
+    labeling-aid flag) is snapshotted; the seedless path is unchanged."""
+    import pyspark.sql.functions as F
+
+    t, l = fixture_data
+    # seeds: for each entity in the fixture, its two lowest conv_ids
+    w = l.groupBy("entity_id").agg(
+        F.sort_array(F.collect_list("conv_id")).alias("cs")
+    )
+    seeds = (
+        w.where(F.size("cs") >= 2)
+        .select(
+            F.col("entity_id").cast("string").alias("seed_id"),
+            F.explode(F.slice("cs", 1, 2)).alias("conv_id"),
+        )
+        .select("conv_id", "seed_id")
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_seeds"))
+    res = pipeline.run(spark, t, ckpt, labels=l, seeds=seeds)
+
+    # same-seed convs always co-clustered in the final assignment
+    joined = (
+        res.assignments.join(seeds, "conv_id")
+        .groupBy("seed_id")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+    )
+    bad = joined.where("n > 1").count()
+    assert bad == 0
+
+    # the seed-merge snapshot exists and carries the ambiguity flag
+    import glob
+
+    snap = glob.glob(f"{ckpt}/seed_merge/round=00000/*.parquet")
+    assert snap
+    sm = spark.read.parquet(f"{ckpt}/seed_merge/round=00000")
+    assert set(sm.columns) >= {"conv_id", "cluster_id", "is_seed", "ambiguous"}
+    # seeds only help: F1 with seeds >= the seedless gate
+    assert res.metrics["macro_f1"] >= 0.99
