@@ -271,6 +271,9 @@ def run(
         # their stage-2 scores. seeds: (conv_id, seed_id). The merge table
         # (with its `ambiguous` labeling-aid flags) is snapshotted for
         # inspection. Zero cost and identical plan when seeds is None.
+        # Resume contract as everywhere in this store: re-entry assumes the
+        # SAME inputs — toggling `seeds` between a run and its resume is the
+        # same class of misuse as swapping the transcript table.
         from namedis_spark.operators.cluster import connected_components
         from namedis_spark.operators.seedmerge import seed_merge_sharing_coauthor
 
