@@ -251,10 +251,16 @@ def cluster_names_by_coauthorship(
     lexicographic minimum — every requested name appears, collaborators
     share a cluster_name, isolated names are their own cluster.
     """
+    # A python list is driver-bounded by construction → broadcast hint.
+    # A DataFrame's size is unknown (could be a 10^8-name table at corpus
+    # scale) → leave the strategy to Catalyst/AQE, which still picks a
+    # broadcast when the side fits and a shuffle semijoin when it doesn't.
     if isinstance(names, DataFrame):
         name_df = names.toDF("name").distinct()
+        hint = lambda df: df  # noqa: E731
     else:
         name_df = spark.createDataFrame([(n,) for n in names], "name string").distinct()
+        hint = F.broadcast
 
     authors = F.array_union(F.array("focus_name"), "coauthors")
     pairs = (
@@ -263,8 +269,8 @@ def cluster_names_by_coauthorship(
         .where((F.col("src") < F.col("dst")) & (F.col("src") != ""))
     )
     restricted = (
-        pairs.join(F.broadcast(name_df.select(F.col("name").alias("src"))), "src", "leftsemi")
-        .join(F.broadcast(name_df.select(F.col("name").alias("dst"))), "dst", "leftsemi")
+        pairs.join(hint(name_df.select(F.col("name").alias("src"))), "src", "leftsemi")
+        .join(hint(name_df.select(F.col("name").alias("dst"))), "dst", "leftsemi")
         .distinct()
     )
 
