@@ -378,3 +378,28 @@ def test_seedmerge_plans_have_no_quadratic_joins(spark):
     seed = spark.createDataFrame([("c0", "S")], "conv_id string, seed_id string")
     merged = seed_merge_sharing_coauthor(feats, ion, seed)
     assert quadratic_join_nodes(merged) == []
+
+
+def test_seed_merge_operator_propagates_ambiguous_flag(spark):
+    """The tie case surfaces through the DataFrame path: an ion sharing
+    the max coauthor count with two seeds lands in the lowest seed id
+    with ambiguous=true on its conversations only."""
+    feats = _features(
+        spark,
+        [
+            ("s1", "b", "f", ["a", "b"]),
+            ("s2", "b", "f", ["a", "b"]),
+            ("i1", "b", "f", ["a", "b"]),
+        ],
+    )
+    ion = spark.createDataFrame([("i1", "I1")], "conv_id string, cluster_id string")
+    seed = spark.createDataFrame(
+        [("s1", "S1"), ("s2", "S2")], "conv_id string, seed_id string"
+    )
+    out = {
+        r["conv_id"]: (r["cluster_id"], r["ambiguous"])
+        for r in seed_merge_sharing_coauthor(feats, ion, seed).collect()
+    }
+    assert out["i1"] == ("seed:S1", True)
+    assert out["s1"] == ("seed:S1", False)
+    assert out["s2"] == ("seed:S2", False)
