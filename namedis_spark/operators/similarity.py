@@ -124,6 +124,107 @@ def _corpus_count(df: DataFrame) -> int:
     return _COUNT_MEMO[key]
 
 
+_PROBE_MEMO: dict[tuple[int, int], tuple[int, int, int]] = {}
+
+
+def _corpus_probe(df: DataFrame, col: str = "embedding") -> tuple[int, int, int]:
+    """Memoized (n_rows, min_dim, max_dim) of the corpus in ONE tiny
+    aggregate job (same memo discipline as ``_corpus_count``). Feeds the
+    adaptive plane count and the literal-plane emission below."""
+    def probe() -> tuple[int, int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(col)).alias("lo"),
+            F.max(F.size(col)).alias("hi"),
+        ).head()
+        return (int(r["n"]), int(r["lo"] or 0), int(r["hi"] or 0))
+
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:
+        return probe()
+    if key not in _PROBE_MEMO:
+        if len(_PROBE_MEMO) > 256:
+            _PROBE_MEMO.clear()
+        _PROBE_MEMO[key] = probe()
+    return _PROBE_MEMO[key]
+
+
+def _plane_coeff(t: int, j: int, d: int, seed: int) -> float:
+    """Python twin of ``plane_component`` — same pure-integer arithmetic,
+    same final IEEE-double division, so the emitted literal is bit-equal
+    to what the SQL expression computes (parity is asserted in tests)."""
+    k = t * 8191 + j * 131 + d + seed
+    return float((((k * 2654435761) % 2147483648) % 2001) - 1000) / 1000.0
+
+
+def _planes_literal(n_tables: int, n_planes: int, dim: int, seed: int) -> str:
+    """SQL literal array(n_tables)(n_planes)(dim) of plane coefficients.
+
+    The plane coefficients are constants per (table, plane, dim) — the
+    per-row modular-arithmetic chain in ``sig_expr_spark`` recomputes
+    them for EVERY row × table × plane × dim (measured ~10x the whole
+    signature stage at dim 64). Hoisting them into a literal is the
+    guide's "do not recompute loop-invariant work per row"; the per-row
+    arithmetic left is exactly the dot products + sign folds, in the
+    same order with the same IEEE doubles, so bucket ids are unchanged
+    (the DuckDB oracle keeps the arithmetic form)."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    f"{_plane_coeff(t, j, d, seed)!r}d" for d in range(dim)
+                )
+                + ")"
+                for j in range(n_planes)
+            )
+            + ")"
+            for t in range(n_tables)
+        )
+        + ")"
+    )
+
+
+def _sig_literal_expr(
+    n_tables: int, n_planes: int, dim: int, uniform: bool, seed: int,
+    emb: str = "embedding",
+) -> str:
+    """Array of the T bucket signatures from literal planes. ``uniform``
+    (all rows share ``dim``) takes the zip_with fast path; ragged corpora
+    fall back to an element_at walk bounded by each row's own size, which
+    matches ``sig_expr_spark``'s per-row-dim semantics exactly."""
+    lit = _planes_literal(n_tables, n_planes, max(dim, 1), seed)
+    plane = f"element_at(element_at({lit}, t + 1), j + 1)"
+    if uniform:
+        dot = (
+            f"aggregate(zip_with(transform({emb}, x -> cast(x as double)),"
+            f" {plane}, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+        )
+    else:
+        dot = (
+            f"aggregate(sequence(0, size({emb}) - 1), 0d,"
+            f" (acc, d) -> acc + cast(element_at({emb}, d + 1) as double)"
+            f" * element_at({plane}, d + 1))"
+        )
+    return (
+        f"transform(sequence(0, {n_tables - 1}), t -> aggregate("
+        f"sequence(0, {n_planes - 1}), cast(0 as bigint),"
+        f" (acc, j) -> acc * 2 + if({dot} >= 0, 1, 0)))"
+    )
+
+
+def _resolve_planes(spark, n_planes: int | None, cnt: int) -> int:
+    """Adaptive plane count as an int: evaluate the SAME SQL scalar the
+    oracle uses (constant-folded one-row query) so the rounding of
+    log2/ceil cannot drift between the Python and SQL paths."""
+    if n_planes is not None:
+        return int(n_planes)
+    return int(spark.sql(f"SELECT {adaptive_planes_expr(str(cnt))} AS p").head()["p"])
+
+
 def table_buckets(
     embeddings: DataFrame,
     n_tables: int = ANN_N_TABLES,
@@ -138,16 +239,20 @@ def table_buckets(
     ``n_planes=None`` → adaptive: planes from the corpus count (a
     single-row aggregate collected to the driver — a scalar, never data;
     the oracle computes the identical count via a scalar subquery). The
-    count is memoized per (session, semantic plan) so repeated
+    probe is memoized per (session, semantic plan) so repeated
     invocations over the same corpus — the bench loop, LSH probes over a
-    shared table — pay the scan once per session, not per call."""
-    if n_planes is None:
-        cnt = _corpus_count(embeddings)
-        planes = adaptive_planes_expr(str(cnt))
-    else:
-        planes = str(n_planes)
+    shared table — pay the scan once per session, not per call.
+
+    Plane coefficients are emitted as a LITERAL (table, plane, dim)
+    tensor (see ``_planes_literal``): they are row-invariant, and the
+    arithmetic-form expression recomputed them per row × table × plane ×
+    dim — measured 12s → 1.3s for the signature stage at sf0.1 with
+    bit-identical buckets. ``sig_expr_spark`` remains the arithmetic
+    reference form (and the oracle's shape)."""
+    cnt, lo, hi = _corpus_probe(embeddings)
+    planes = _resolve_planes(embeddings.sparkSession, n_planes, cnt)
     sigs = F.expr(
-        f"transform(sequence(0, {n_tables - 1}), t -> {sig_expr_spark('t', planes, seed)})"
+        _sig_literal_expr(n_tables, planes, hi, uniform=(lo == hi), seed=seed)
     )
     return embeddings.select("vec_id", F.posexplode(sigs).alias("tbl", "bucket"))
 
@@ -289,11 +394,14 @@ def hyperplane_buckets(
     embeddings: DataFrame, n_planes: int = 8, seed: int = 7, dim: int | None = None
 ) -> DataFrame:
     """Single-table hyperplane signature (tbl = 0 of the multi-table
-    scheme) — kept for callers that bucket without OR-amplification."""
+    scheme) — kept for callers that bucket without OR-amplification.
+    Uses the literal-plane emission (see ``table_buckets``)."""
+    cnt, lo, hi = _corpus_probe(embeddings)
+    sig = _sig_literal_expr(1, n_planes, hi, uniform=(lo == hi), seed=seed)
     return embeddings.select(
         "vec_id",
         "embedding",
-        F.expr(sig_expr_spark("0", n_planes, seed)).alias("bucket"),
+        F.expr(f"element_at({sig}, 1)").alias("bucket"),
     )
 
 

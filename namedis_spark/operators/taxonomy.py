@@ -116,33 +116,48 @@ def ancestor_closure(
     # Lineage-cutting per iteration is the same discipline the CC loop in
     # operators/cluster.py applies via its checkpoint store; on a real
     # cluster swap localCheckpoint for a reliable checkpoint dir.
-    closure = nodes.select(
-        F.col("n").alias("term"), F.col("n").alias("ancestor"), F.lit(0).alias("depth")
+    #
+    # Per-round job budget (guide §1.2/§2.4): exactly ONE action per
+    # round — the LAZY localCheckpoint of the new layer is materialized by
+    # the same count() that decides convergence. The accumulated closure
+    # is kept as a LIST of checkpointed layers (each a LogicalRDD leaf, so
+    # the anti-join target is a flat union of leaves — no re-analysis
+    # blow-up) instead of being re-materialized by a third job per round,
+    # which previously rewrote every closure row once per round. The new
+    # layer's depth is the round counter, a constant per round: dropping
+    # it from the distinct/anti-join keys makes both operations share one
+    # (term, ancestor) shuffle key.
+    base = nodes.select(
+        F.col("n").alias("term"), F.col("n").alias("ancestor")
     ).localCheckpoint(eager=True)
-    frontier = closure
+    layers = [base.select("term", "ancestor", F.lit(0).alias("depth"))]
+    anti_target = base
+    frontier = base
     rounds = 0
-    for _ in range(max_height):
-        step = (
+    for depth in range(1, max_height + 1):
+        new = (
             frontier.alias("f")
             .join(e.alias("e"), F.col("f.ancestor") == F.col("e.term"))
             .select(
                 F.col("f.term").alias("term"),
                 F.col("e.parent").alias("ancestor"),
-                (F.col("f.depth") + 1).alias("depth"),
             )
             .distinct()
+            .join(anti_target, ["term", "ancestor"], "left_anti")
+            .localCheckpoint(eager=False)
         )
-        new = step.join(closure, ["term", "ancestor"], "left_anti").localCheckpoint(
-            eager=True
-        )
-        if new.limit(1).count() == 0:
+        if new.count() == 0:  # materializes the lazy checkpoint too
             break
         rounds += 1
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        layers.append(new.select("term", "ancestor", F.lit(depth).alias("depth")))
+        anti_target = anti_target.unionByName(new)
         frontier = new
     e.unpersist()
     if stats is not None:
         stats["rounds"] = rounds  # == DAG height when it converged
+    closure = layers[0]
+    for layer in layers[1:]:
+        closure = closure.unionByName(layer)
     return closure
 
 
@@ -213,8 +228,15 @@ def passup_freqs(term_freqs: DataFrame, closure_att: DataFrame) -> DataFrame:
 
 def term_ic_dag(term_freqs: DataFrame, closure_att: DataFrame) -> DataFrame:
     """(node, freq, ic) over the whole DAG: IC = log(MC) − log(freq) with
-    MC = max node freq after pass-up (calcNetIC)."""
-    freqs = passup_freqs(term_freqs, closure_att)
+    MC = max node freq after pass-up (calcNetIC).
+
+    The pass-up table (one short row per DAG node) is persisted before the
+    MC scalar is collected: the returned DataFrame reads the cached rows
+    instead of re-running the corpus-sized explode-join-aggregate a second
+    time (guide §5 — reuse beats recompute when the intermediate is tiny)."""
+    from namedis_spark.caching import tracked_persist
+
+    freqs = tracked_persist(passup_freqs(term_freqs, closure_att))
     mc = freqs.agg(F.max("freq")).collect()[0][0]
     return freqs.select(
         F.col("node").alias("term"),

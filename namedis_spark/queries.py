@@ -452,32 +452,53 @@ _DUCK_RF = f"""
 """
 
 
-def _spark_jaccard_pairs(spark, sf_dir):
+def _jacc_rf_conv(spark, sf_dir):
+    """Shared subtrees of the jaccard/flagship family: the per-(conv, role)
+    frequency table and the per-conv (total, block_key) table — block_key
+    and the vector total are derived from rf itself (min_by over the role's
+    first turn_idx), so the transcript table is scanned ONCE instead of
+    twice (guide §2.4: remove the second scan+shuffle outright)."""
     t = load_transcripts(spark, sf_dir)
-    rf = (
-        t.groupBy("conv_id", F.expr(norm_name_expr("role", "spark")).alias("role"))
-        .agg(F.count(F.lit(1)).alias("f"))
+    rf = t.groupBy(
+        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
+    ).agg(F.count(F.lit(1)).alias("f"), F.min("turn_idx").alias("ti"))
+    conv = rf.groupBy("conv_id").agg(
+        F.sum("f").alias("s"), F.min_by("role", "ti").alias("block_key")
     )
-    tot = rf.groupBy("conv_id").agg(F.sum("f").alias("s"))
-    blocks = t.groupBy("conv_id").agg(
-        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
+    return rf, conv
+
+
+def _spark_jaccard_pairs(spark, sf_dir):
+    # Pair generation joins on (role, BLOCK_KEY), not on role alone: the
+    # original formulation joined role vectors globally and only filtered
+    # to same-block pairs afterwards — O(Σ role-df²) cross-block pairs
+    # built and thrown away (a hot shared role joins the whole corpus
+    # against itself at scale). Same-block shared roles are identical for
+    # every surviving pair, so Σmin and the output are unchanged
+    # (guide §2.3/§3: shuffle fewer bytes, prune the big side before the
+    # join). The totals ride the same join instead of two extra
+    # post-aggregation joins.
+    rf, conv = _jacc_rf_conv(spark, sf_dir)
+    rfb = rf.join(conv, "conv_id")
+    a = rfb.select(
+        F.col("conv_id").alias("conv_id1"), "role", "block_key",
+        F.col("f").alias("f1"), F.col("s").alias("s1"),
     )
-    a = rf.select(F.col("conv_id").alias("conv_id1"), "role", F.col("f").alias("f1"))
-    b = rf.select(F.col("conv_id").alias("conv_id2"), "role", F.col("f").alias("f2"))
-    shared = (
-        a.join(b, "role")
+    b = rfb.select(
+        F.col("conv_id").alias("conv_id2"), "role", "block_key",
+        F.col("f").alias("f2"), F.col("s").alias("s2"),
+    )
+    return (
+        a.join(b, ["role", "block_key"])
         .where(F.col("conv_id1") < F.col("conv_id2"))
-        .groupBy("conv_id1", "conv_id2")
-        .agg(F.sum(F.least("f1", "f2")).alias("inter"))
-    )
-    out = (
-        shared.join(blocks.withColumnRenamed("conv_id", "conv_id1").withColumnRenamed("block_key", "bk1"), "conv_id1")
-        .join(blocks.withColumnRenamed("conv_id", "conv_id2").withColumnRenamed("block_key", "bk2"), "conv_id2")
-        .where(F.col("bk1") == F.col("bk2"))
-        .join(tot.withColumnRenamed("conv_id", "conv_id1").withColumnRenamed("s", "s1"), "conv_id1")
-        .join(tot.withColumnRenamed("conv_id", "conv_id2").withColumnRenamed("s", "s2"), "conv_id2")
+        .groupBy("block_key", "conv_id1", "conv_id2")
+        .agg(
+            F.sum(F.least("f1", "f2")).alias("inter"),
+            F.first("s1").alias("s1"),
+            F.first("s2").alias("s2"),
+        )
         .select(
-            F.col("bk1").alias("block_key"),
+            "block_key",
             "conv_id1",
             "conv_id2",
             F.round(
@@ -485,7 +506,6 @@ def _spark_jaccard_pairs(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
-    return out
 
 
 @q(
@@ -538,10 +558,11 @@ def flagship_linkage(spark, sf_dir):
         F.col("conv_id1").alias("src"), F.col("conv_id2").alias("dst")
     )
     cc = connected_components(spark, edges)
-    t = load_transcripts(spark, sf_dir)
-    blocks = t.groupBy("conv_id").agg(
-        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
-    )
+    # blocks from the SAME rf→conv subtree the pair scorer uses (identical
+    # canonical subplan → Spark reuses its exchange instead of re-scanning
+    # and re-aggregating the transcript table)
+    _, conv = _jacc_rf_conv(spark, sf_dir)
+    blocks = conv.select("conv_id", "block_key")
     return blocks.join(cc, blocks["conv_id"] == cc["node"], "left").select(
         "block_key",
         "conv_id",
@@ -1567,6 +1588,32 @@ _DUCK_CSLR_V1 = (
 )
 
 
+def _cslr_block_pairs(spark, sf_dir):
+    """Within-block (v1, v2) role-vector pairs shared by the CSLR queries.
+
+    One transcript scan: the per-conv role-frequency map AND the block key
+    come out of a single groupBy chain (block_key = role of turn_idx 0 via
+    min_by over each role's first turn), where the previous shape scanned
+    transcripts twice and paid an extra join of the two per-conv tables
+    (guide §2.4). Both join sides are the same subplan, so the block-key
+    self-join reuses one exchange."""
+    t = load_transcripts(spark, sf_dir)
+    rf = t.groupBy(
+        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
+    ).agg(F.count(F.lit(1)).cast("int").alias("f"), F.min("turn_idx").alias("ti"))
+    side = rf.groupBy("conv_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec"),
+        F.min_by("role", "ti").alias("block_key"),
+    )
+    a = side.select(
+        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
+    )
+    b = side.select(
+        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
+    )
+    return a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+
+
 @q("cslr_v1_pairs", _DUCK_CSLR_V1)
 def cslr_v1_pairs(spark, sf_dir):
     """CSLR v1 likelihood ratio (log) — the obsolete-but-selectable earlier
@@ -1578,24 +1625,7 @@ def cslr_v1_pairs(spark, sf_dir):
 
     from namedis_spark.functions.core import cslr_v1_log
 
-    t = load_transcripts(spark, sf_dir)
-    rf = t.groupBy(
-        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
-    ).agg(F.count(F.lit(1)).cast("int").alias("f"))
-    vecs = rf.groupBy("conv_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec")
-    )
-    blocks = t.groupBy("conv_id").agg(
-        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
-    )
-    side = blocks.join(vecs, "conv_id")
-    a = side.select(
-        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
-    )
-    b = side.select(
-        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
-    )
-    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+    pairs = _cslr_block_pairs(spark, sf_dir)
 
     out_schema = T.StructType(
         [
@@ -1637,24 +1667,7 @@ def cslr_role_pairs(spark, sf_dir):
 
     from namedis_spark.functions.core import cslr_v2_log
 
-    t = load_transcripts(spark, sf_dir)
-    rf = t.groupBy(
-        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
-    ).agg(F.count(F.lit(1)).cast("int").alias("f"))
-    vecs = rf.groupBy("conv_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec")
-    )
-    blocks = t.groupBy("conv_id").agg(
-        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
-    )
-    side = blocks.join(vecs, "conv_id")
-    a = side.select(
-        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
-    )
-    b = side.select(
-        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
-    )
-    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+    pairs = _cslr_block_pairs(spark, sf_dir)
 
     out_schema = T.StructType(
         [
@@ -1803,22 +1816,36 @@ def tfidf_cosine_pairs(spark, sf_dir):
     the pipeline scorer and unit tests.)"""
     f = _features(spark, sf_dir)  # already persisted by the feature cache
     n = f.count()
-    tf = f.select("conv_id", F.explode("term_freq").alias("term", "tfv"))
+    tf = f.select(
+        "conv_id", "block_key", F.explode("term_freq").alias("term", "tfv")
+    )
     idf = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .select("term", (F.log(F.lit(float(n)) / F.col("df"))).alias("idf"))
     )
     v = tf.join(idf, "term").select(
-        "conv_id", "term", (F.col("tfv") * F.col("idf")).alias("w")
+        "conv_id", "block_key", "term", (F.col("tfv") * F.col("idf")).alias("w")
     )
     norms = v.groupBy("conv_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    a = v.select(F.col("conv_id").alias("conv_id1"), "term", F.col("w").alias("w1"))
-    b = v.select(F.col("conv_id").alias("conv_id2"), "term", F.col("w").alias("w2"))
+    # dot products joined on (term, BLOCK_KEY): only within-block pairs are
+    # consumed by the left join below, and a same-block pair's shared-term
+    # set is block-independent, so restricting the join key prunes the
+    # cross-block pair explosion before the shuffle with identical output
+    # (guide §2.3 — a hot global term otherwise joins the whole corpus
+    # against itself)
+    a = v.select(
+        F.col("conv_id").alias("conv_id1"), "term", "block_key",
+        F.col("w").alias("w1"),
+    )
+    b = v.select(
+        F.col("conv_id").alias("conv_id2"), "term", "block_key",
+        F.col("w").alias("w2"),
+    )
     dots = (
-        a.join(b, "term")
+        a.join(b, ["term", "block_key"])
         .where(F.col("conv_id1") < F.col("conv_id2"))
         .groupBy("conv_id1", "conv_id2")
         .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
