@@ -98,6 +98,12 @@ def term_weights(features: DataFrame) -> DataFrame:
     freq = term_conv_freq.groupBy("term").agg(F.sum("tfreq").alias("freq"))
     per_term = per_term.join(freq, "term")
 
+    # vocab-sized; persisted so the scalar max below and the returned
+    # projection share one evaluation of the hit-freq join chain instead
+    # of running it twice (guide §5)
+    from namedis_spark.caching import tracked_persist
+
+    per_term = tracked_persist(per_term)
     max_author_num = per_term.agg(F.max("author_num_nonforay")).collect()[0][0]
 
     return per_term.select(

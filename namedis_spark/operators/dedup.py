@@ -80,28 +80,49 @@ def shingle_keys(text_col: str, n: int = 3, dialect: str = "spark") -> str:
 def _shingles_df(docs: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingles) over the normalized text.
 
-    The trivial `groupBy(doc_id).agg(first(norm))` is a deliberate
-    materialization barrier: Catalyst's projection collapse would otherwise
-    inline the O(len) normalization into every per-gram lambda invocation,
-    making shingling O(len²) per document (measured 12x slower). The
-    shuffle moves one short row per doc; at corpus scale the normalized
-    table would be a persisted intermediate anyway."""
+    Tokenization/normalization stays a JVM expression; the per-gram
+    md5→bigint mapping runs as an Arrow-batched Python function. The
+    interpreted SQL chain (substring + md5 + conv per gram, ~len(text)
+    grams per document) was the dominant cost of the whole minhash family
+    — measured ~8s at sf0.1 vs <1s for the same loop over Arrow batches
+    (guide §4.2: hand whole batches to native code instead of evaluating
+    an expression tree per element). Output is bit-identical: same
+    character grams, same md5 prefix, same first-occurrence dedup order
+    (dict.fromkeys) as array_distinct. The Python node is also the
+    materialization barrier the old groupBy(doc_id) stood in for —
+    Catalyst cannot inline the normalization into downstream lambdas."""
+    import hashlib
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
     toks = tokens_expr(text_col, "spark")
-    norm = docs.select(
-        "doc_id", F.expr(f"array_join({toks}, ' ')").alias("_norm")
-    ).groupBy("doc_id").agg(F.first("_norm").alias("_norm"))
-    grams = (
-        f"transform(filter(sequence(1, greatest(length(_norm) - {n - 1}, 1)),"
-        f" i -> i + {n - 1} <= length(_norm)),"
-        f" i -> substring(_norm, i, {n}))"
+    norm = docs.select("doc_id", F.expr(f"array_join({toks}, ' ')").alias("_norm"))
+    id_field = norm.schema["doc_id"]
+    out_schema = T.StructType(
+        [id_field, T.StructField("shingles", T.ArrayType(T.LongType()))]
     )
-    return norm.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform({grams},"
-            f" g -> cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)))"
-        ).alias("shingles"),
-    )
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            out = []
+            for s in pdf["_norm"]:
+                if s is None:
+                    out.append(None)
+                    continue
+                grams = dict.fromkeys(
+                    s[i : i + n] for i in range(len(s) - n + 1)
+                )
+                out.append(
+                    [
+                        int(md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                        for g in grams
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+
+    return norm.mapInPandas(gen, out_schema)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -256,6 +277,12 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     """SimHash: per-token md5-derived bit pattern, weighted bit votes, sign
     → fingerprint. Near-dups share fingerprints (or low Hamming distance).
     Pure JVM expressions; portable hash (md5 first 8 hex = 32 bits)."""
+    # Single extra shuffle past the (doc, tok) term count: the per-bit
+    # vote sums are 32 conditional-sum aggregate columns of ONE
+    # groupBy(doc_id) instead of a 32-way explode feeding two more
+    # shuffles (guide §2.4 — the exploded rows carried (doc_id, bit,
+    # vote) triples whose only purpose was to be re-grouped). Integer
+    # sums are exact, so the fingerprint is unchanged.
     toks = tokens_expr(text_col, "spark")
     tf = (
         docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
@@ -265,26 +292,20 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
             "h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
         )
     )
-    votes = tf.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}),"
-                f" j -> struct(j as bit, case when (h div cast(pow(2, j) as bigint)) % 2 = 1"
-                f" then w else -w end as vote))"
-            )
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
-    return (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("cast(pow(2, bit) as bigint)")).otherwise(0)
-            ).alias("simhash")
+    vote_cols = [
+        F.sum(
+            F.expr(f"case when (h div {1 << j}L) % 2 = 1 then w else -w end")
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*vote_cols)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
 def embedding_cosine_pairs(

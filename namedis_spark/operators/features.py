@@ -26,7 +26,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from namedis_spark.functions.sqlexpr import (
-    content_tokens_expr,
     lemma_rules_case,
     norm_name_expr,
 )
@@ -150,14 +149,19 @@ def exploded_content_terms(
     equivalent full CASE chain (sqlexpr.lemma_case) — both are generated
     from the same tables in functions.text, so the engines cannot drift."""
     spark = df.sparkSession
-    from namedis_spark.functions.text import IRREGULAR_LEMMAS
+    from namedis_spark.functions.sqlexpr import tokens_expr
+    from namedis_spark.functions.text import IRREGULAR_LEMMAS, STOPWORDS
 
     irr = spark.createDataFrame(
         sorted(IRREGULAR_LEMMAS.items()), "_tok string, _irr_lemma string"
     )
+    # stopwords dropped AFTER the explode with a scalar NOT IN: that
+    # compiles to a hashed InSet lookup per token, where the in-array
+    # filter lambda re-scanned the ~100-literal stopword array per token
+    # (same rows out — filter-then-explode == explode-then-filter)
     ex = df.select(
-        *keep, F.explode(F.expr(content_tokens_expr(text_col, "spark"))).alias("_tok")
-    )
+        *keep, F.explode(F.expr(tokens_expr(text_col, "spark"))).alias("_tok")
+    ).where(~F.col("_tok").isin(*sorted(STOPWORDS)))
     return ex.join(F.broadcast(irr), "_tok", "left").select(
         *keep,
         F.coalesce("_irr_lemma", F.expr(lemma_rules_case("_tok"))).alias("term"),

@@ -150,7 +150,6 @@ def run(
                 ),
             )
         )
-        f_focus = ex.submit(lambda: sizes.select("block_key").collect())
         # idf/IC + name-part tables derive from ONE unioned explode+groupBy
         # job (both collects are vocab-/surface-sized; sharing the job
         # removes a scheduling barrier from the serial floor)
@@ -161,6 +160,13 @@ def run(
 
         amb_pdf = f_amb.result()
         if amb_pdf is not None:
+            # submitted only on the bounded branch: the distributed
+            # fallback takes block keys as a DataFrame, so collecting
+            # O(distinct block keys) Row objects to the driver in the
+            # over-bound regime was pure waste (the exact regime the
+            # 10M-name guard exists for)
+            f_focus = ex.submit(lambda: sizes.select("block_key").collect())
+
             def _prune_local():
                 f_cn.result()  # cn cache is warm; toPandas reads it
                 focus = {r["block_key"] for r in f_focus.result()}
