@@ -135,6 +135,10 @@ def ancestor_closure(
     frontier = base
     rounds = 0
     for depth in range(1, max_height + 1):
+        # anti-join BEFORE the distinct: both key on (term, ancestor), so
+        # the distinct reuses the anti-join's output partitioning — one
+        # exchange per round instead of two (the within-round duplicate
+        # factor is the multi-parent degree, small by construction)
         new = (
             frontier.alias("f")
             .join(e.alias("e"), F.col("f.ancestor") == F.col("e.term"))
@@ -142,8 +146,8 @@ def ancestor_closure(
                 F.col("f.term").alias("term"),
                 F.col("e.parent").alias("ancestor"),
             )
-            .distinct()
             .join(anti_target, ["term", "ancestor"], "left_anti")
+            .distinct()
             .localCheckpoint(eager=False)
         )
         if new.count() == 0:  # materializes the lazy checkpoint too
@@ -291,13 +295,30 @@ def lcs_closeness(
             F.col("d1") / F.col("at1") + F.col("d2") / F.col("at2"),
         )
     )
-    w = Window.partitionBy("term1", "term2").orderBy(
-        F.asc("depth_sum"), F.asc("atten_depth_sum"), F.asc("ancestor")
-    )
+    # LCS pick = min over (depth_sum, atten_depth_sum, ancestor) — a
+    # lexicographic struct-min aggregation instead of a row_number window:
+    # the hash aggregate combines map-side (one candidate row per pair
+    # crosses the shuffle) where the window sorted the FULL candidate
+    # table (guide §2.3). (term1, term2, ancestor) is unique in `cand`,
+    # so the first three struct fields are a total order and the payload
+    # fields never influence the comparison.
     best = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk")
+        cand.groupBy("term1", "term2")
+        .agg(
+            F.min(
+                F.struct(
+                    "depth_sum", "atten_depth_sum", "ancestor", "at1", "at2"
+                )
+            ).alias("_b")
+        )
+        .select(
+            "term1",
+            "term2",
+            F.col("_b.ancestor").alias("ancestor"),
+            F.col("_b.depth_sum").alias("depth_sum"),
+            F.col("_b.at1").alias("at1"),
+            F.col("_b.at2").alias("at2"),
+        )
     )
     ics = term_ic_dag(term_freqs, closure_att).select(
         F.col("term").alias("ancestor"), "ic"

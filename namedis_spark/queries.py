@@ -58,9 +58,24 @@ def transcripts_sql(dialect: str) -> str:
     """
 
 
+_VIEWS_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the input tables as temp views — memoized per (session,
+    sf_dir): every registration re-reads ten parquet footers on the driver
+    (~1s), and nearly every registry query calls this, so the un-memoized
+    form re-paid that per query (guide §6 — cache file/metadata listings).
+    Re-registers whenever the session's last-registered dir differs, so
+    multi-SF sessions (tests, the oracle gate) stay correct."""
+    # tableExists guards against id() reuse after a session is GC'd
+    if _VIEWS_REGISTERED.get(id(spark)) == sf_dir and spark.catalog.tableExists(
+        TABLES[0]
+    ):
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[id(spark)] = sf_dir
 
 
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,15 +1603,21 @@ _DUCK_CSLR_V1 = (
 )
 
 
-def _cslr_block_pairs(spark, sf_dir):
-    """Within-block (v1, v2) role-vector pairs shared by the CSLR queries.
+def _cslr_scored_pairs(spark, sf_dir, log_fn, out_col: str = "log_cslr"):
+    """Within-block CSLR pair scores via per-block pair enumeration.
 
-    One transcript scan: the per-conv role-frequency map AND the block key
-    come out of a single groupBy chain (block_key = role of turn_idx 0 via
-    min_by over each role's first turn), where the previous shape scanned
-    transcripts twice and paid an extra join of the two per-conv tables
-    (guide §2.4). Both join sides are the same subplan, so the block-key
-    self-join reuses one exchange."""
+    One transcript scan builds the per-conv (role-frequency map, block
+    key) side table; pairs are enumerated INSIDE a per-block
+    ``applyInPandas`` so each conversation's vector crosses the Python
+    boundary once, not once per pair (guide §8 — the previous self-join
+    shipped two map payloads per pair row: ~450k map cells through Arrow
+    at sf0.1 for 225k pairs built from 1.5k vectors). Pair order
+    (conv_id1 < conv_id2) and the per-pair ``log_fn`` values are
+    unchanged. O(block²) by design — these are the verification-only
+    enumeration queries (module docstring); the production pipeline
+    scores through the capped/salted candidate paths."""
+    import pandas as pd
+
     t = load_transcripts(spark, sf_dir)
     rf = t.groupBy(
         "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
@@ -1605,13 +1626,25 @@ def _cslr_block_pairs(spark, sf_dir):
         F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec"),
         F.min_by("role", "ti").alias("block_key"),
     )
-    a = side.select(
-        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
+
+    cols = ["block_key", "conv_id1", "conv_id2", out_col]
+
+    def score_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bk = key[0]
+        ids = pdf["conv_id"].tolist()
+        vecs = [dict(v) for v in pdf["vec"]]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        rows = []
+        for x, i in enumerate(order):
+            vi, ci = vecs[i], ids[i]
+            for j in order[x + 1 :]:
+                rows.append((bk, ci, ids[j], round(log_fn(vi, vecs[j]), 6)))
+        return pd.DataFrame(rows, columns=cols)
+
+    return side.groupBy("block_key").applyInPandas(
+        score_block,
+        f"block_key string, conv_id1 string, conv_id2 string, {out_col} double",
     )
-    b = side.select(
-        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
-    )
-    return a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
 
 
 @q("cslr_v1_pairs", _DUCK_CSLR_V1)
@@ -1620,40 +1653,9 @@ def cslr_v1_pairs(spark, sf_dir):
     variant (isSameCategorical, NLPUtil.pm:3255-3480; version switch
     clust.pl:95-104), with its seen-cancels-unseen type-count semantics —
     verified against an independent closed-form SQL oracle."""
-    import pandas as pd
-    import pyspark.sql.types as T
-
     from namedis_spark.functions.core import cslr_v1_log
 
-    pairs = _cslr_block_pairs(spark, sf_dir)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("block_key", T.StringType()),
-            T.StructField("conv_id1", T.StringType()),
-            T.StructField("conv_id2", T.StringType()),
-            T.StructField("log_cslr", T.DoubleType()),
-        ]
-    )
-
-    def udf(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals = [
-                round(cslr_v1_log(dict(v1), dict(v2)), 6)
-                for v1, v2 in zip(pdf["v1"], pdf["v2"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "block_key": pdf["block_key"],
-                    "conv_id1": pdf["conv_id1"],
-                    "conv_id2": pdf["conv_id2"],
-                    "log_cslr": vals,
-                }
-            )
-
-    return pairs.mapInPandas(udf, schema=out_schema)
+    return _cslr_scored_pairs(spark, sf_dir, cslr_v1_log)
 
 
 @q("cslr_role_pairs", _DUCK_CSLR)
@@ -1662,40 +1664,9 @@ def cslr_role_pairs(spark, sf_dir):
     vectors, per within-block pair — the novel categorical similarity as an
     Arrow-batched pandas UDF (isSameCategorical2, NLPUtil.pm:3486-3712),
     verified here against an independent closed-form SQL oracle."""
-    import pandas as pd
-    import pyspark.sql.types as T
-
     from namedis_spark.functions.core import cslr_v2_log
 
-    pairs = _cslr_block_pairs(spark, sf_dir)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("block_key", T.StringType()),
-            T.StructField("conv_id1", T.StringType()),
-            T.StructField("conv_id2", T.StringType()),
-            T.StructField("log_cslr", T.DoubleType()),
-        ]
-    )
-
-    def udf(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals = [
-                round(cslr_v2_log(dict(v1), dict(v2)), 6)
-                for v1, v2 in zip(pdf["v1"], pdf["v2"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "block_key": pdf["block_key"],
-                    "conv_id1": pdf["conv_id1"],
-                    "conv_id2": pdf["conv_id2"],
-                    "log_cslr": vals,
-                }
-            )
-
-    return pairs.mapInPandas(udf, schema=out_schema)
+    return _cslr_scored_pairs(spark, sf_dir, cslr_v2_log)
 
 
 @q(
@@ -3774,53 +3745,14 @@ def jaccard_type_pairs(spark, sf_dir):
     NLPUtil.pm:3172-3252 use_freq=0 branch) per within-block pair — the
     python UDF (functions.core.weighted_jaccard) vs an independent SQL
     set-overlap replay."""
-    import pandas as pd
-    import pyspark.sql.types as T
-
     from namedis_spark.functions.core import weighted_jaccard
 
-    t = load_transcripts(spark, sf_dir)
-    rf = t.groupBy(
-        "conv_id", F.expr(norm_name_expr("role", "spark")).alias("role")
-    ).agg(F.count(F.lit(1)).cast("int").alias("f"))
-    vecs = rf.groupBy("conv_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec")
+    return _cslr_scored_pairs(
+        spark,
+        sf_dir,
+        lambda v1, v2: weighted_jaccard(v1, v2, use_freq=False),
+        out_col="jaccard_type",
     )
-    blocks = t.groupBy("conv_id").agg(
-        F.min_by(F.expr(norm_name_expr("role", "spark")), "turn_idx").alias("block_key")
-    )
-    side = blocks.join(vecs, "conv_id")
-    a = side.select("block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1"))
-    b = side.select("block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2"))
-    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
-
-    schema = T.StructType(
-        [
-            T.StructField("block_key", T.StringType()),
-            T.StructField("conv_id1", T.StringType()),
-            T.StructField("conv_id2", T.StringType()),
-            T.StructField("jaccard_type", T.DoubleType()),
-        ]
-    )
-
-    def udf(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals = [
-                round(weighted_jaccard(dict(v1), dict(v2), use_freq=False), 6)
-                for v1, v2 in zip(pdf["v1"], pdf["v2"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "block_key": pdf["block_key"],
-                    "conv_id1": pdf["conv_id1"],
-                    "conv_id2": pdf["conv_id2"],
-                    "jaccard_type": vals,
-                }
-            )
-
-    return pairs.mapInPandas(udf, schema=schema)
 
 
 @q(
