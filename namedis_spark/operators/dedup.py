@@ -109,7 +109,9 @@ def _shingles_df(docs: DataFrame, text_col: str, n: int = 3) -> DataFrame:
             out = []
             for s in pdf["_norm"]:
                 if s is None:
-                    out.append(None)
+                    # the SQL chain yields [] for null text (greatest()
+                    # skips nulls, the i+2<=length(null) filter drops all)
+                    out.append([])
                     continue
                 grams = dict.fromkeys(
                     s[i : i + n] for i in range(len(s) - n + 1)

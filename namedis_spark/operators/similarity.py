@@ -217,12 +217,17 @@ def _sig_literal_expr(
 
 
 def _resolve_planes(spark, n_planes: int | None, cnt: int) -> int:
-    """Adaptive plane count as an int: evaluate the SAME SQL scalar the
-    oracle uses (constant-folded one-row query) so the rounding of
-    log2/ceil cannot drift between the Python and SQL paths."""
+    """Adaptive plane count as an int — exact-integer twin of
+    ``adaptive_planes_expr``: ceil(log2(max(cnt,2)/8)) is the smallest k
+    with 2^(k+3) >= cnt, i.e. (cnt-1).bit_length() - 3. Verified equal to
+    the SQL scalar over 2..5000, every power of two ±1 up to 2^40 and
+    powers of ten (log2 of exact powers of two is exact in IEEE, so the
+    float ceil never strays). Saves the one-row scalar query per corpus."""
     if n_planes is not None:
         return int(n_planes)
-    return int(spark.sql(f"SELECT {adaptive_planes_expr(str(cnt))} AS p").head()["p"])
+    c = max(int(cnt), 2)
+    k = (c - 1).bit_length() - 3
+    return max(PLANES_MIN, min(PLANES_MAX, k))
 
 
 def table_buckets(
