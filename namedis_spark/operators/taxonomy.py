@@ -79,11 +79,62 @@ def apply_exclusions(
     return out
 
 
+# Driver fast-path bounds for ancestor_closure: real taxonomies are
+# metadata-sized (csmathling ≈ 1.4e5 edges), and the attenuated closure is
+# ALREADY driver-collected downstream for the broadcast ancestor dicts
+# (ancestors_map_from_df / closeness_fn_from_df) — so a bounded in-driver
+# BFS with a distributed fallback follows the same documented pattern as
+# corpus.key_ambiguity_pdf_bounded. Past either bound the iterative
+# frontier-join loop below runs unchanged.
+CLOSURE_DRIVER_EDGE_BOUND = 200_000
+CLOSURE_DRIVER_ROW_CAP = 5_000_000
+
+
+def _closure_driver_bfs(
+    edge_rows: list,
+    extra: list | None,
+    max_height: int,
+    row_cap: int = CLOSURE_DRIVER_ROW_CAP,
+):
+    """Layered min-depth BFS over driver-resident edges. Returns
+    (rows, height) or None when the closure would exceed ``row_cap``
+    (caller falls back to the distributed loop)."""
+    parents: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for t, p in edge_rows:
+        parents.setdefault(t, []).append(p)
+        nodes.add(t)
+        nodes.add(p)
+    if extra:
+        nodes.update(extra)
+    rows: list[tuple[str, str, int]] = [(n, n, 0) for n in nodes]
+    seen: dict[str, set[str]] = {n: {n} for n in nodes}
+    frontier: list[tuple[str, str]] = [(n, n) for n in nodes]
+    height = 0
+    for depth in range(1, max_height + 1):
+        nxt: list[tuple[str, str]] = []
+        for t, a in frontier:
+            for p in parents.get(a, ()):
+                s = seen[t]
+                if p not in s:
+                    s.add(p)
+                    nxt.append((t, p))
+        if not nxt:
+            break
+        height = depth
+        rows.extend((t, p, depth) for t, p in nxt)
+        if len(rows) > row_cap:
+            return None
+        frontier = nxt
+    return rows, height
+
+
 def ancestor_closure(
     edges: DataFrame,
     max_height: int = MAX_DAG_HEIGHT,
     extra_nodes: DataFrame | None = None,
     stats: dict | None = None,
+    driver_edge_bound: int = CLOSURE_DRIVER_EDGE_BOUND,
 ) -> DataFrame:
     """(term, ancestor, depth) with min-depth semantics over a DAG given
     as (term, parent[, depth]) edges — BFS as iterative frontier joins.
@@ -92,15 +143,54 @@ def ancestor_closure(
     against the edge table plus one anti-join against the accumulated
     closure (first arrival = min depth, so later, longer arrivals are
     discarded before they fan out). Rounds = DAG height (~5 for real
-    taxonomies); every step is a shuffle on the node id, never a
-    collect. The closure includes (term, term, 0) for every node, like
-    the reference's self-entry (ancestorTree seeded with depth 0)."""
-    e = (
-        edges.select("term", "parent")
-        .where(F.col("parent").isNotNull())
-        .distinct()
-        .persist()
-    )
+    taxonomies); every step is a shuffle on the node id, never an
+    unbounded collect. The closure includes (term, term, 0) for every
+    node, like the reference's self-entry (ancestorTree seeded with
+    depth 0).
+
+    Taxonomy-sized inputs (≤ ``driver_edge_bound`` distinct edges, with
+    the resulting closure under ``CLOSURE_DRIVER_ROW_CAP`` rows) take a
+    driver-side BFS instead: one bounded collect + an Arrow
+    createDataFrame replaces ~height × (join + anti-join + checkpoint)
+    barrier-latency rounds. Identical output (parity-tested both sides
+    of the bound); oversized inputs fall through to the loop."""
+    e_raw = edges.select("term", "parent").where(F.col("parent").isNotNull()).persist()
+    n_edges = e_raw.count()  # narrow count — no extra shuffle
+    if n_edges <= driver_edge_bound:
+        extra = None
+        ok = True
+        if extra_nodes is not None:
+            probe = extra_nodes.limit(driver_edge_bound + 1).collect()
+            if len(probe) > driver_edge_bound:
+                ok = False  # corpus-sized orphan set: stay distributed
+            else:
+                extra = [r[0] for r in probe]
+        if ok:
+            # raw (possibly duplicated) edges: the BFS seen-set dedups,
+            # so the fast path skips the distinct shuffle entirely
+            res = _closure_driver_bfs(
+                [(r["term"], r["parent"]) for r in e_raw.collect()],
+                extra,
+                max_height,
+            )
+            if res is not None:
+                rows, height = res
+                e_raw.unpersist()
+                if stats is not None:
+                    stats["rounds"] = height
+                    stats["driver_path"] = True
+                import pandas as pd
+
+                spark = edges.sparkSession
+                pdf = pd.DataFrame(rows, columns=["term", "ancestor", "depth"])
+                pdf["depth"] = pdf["depth"].astype("int32")
+                # checkpoint: downstream plans reference the closure
+                # several times — without it every scan re-ships the
+                # parallelized driver rows to the executors
+                return spark.createDataFrame(
+                    pdf, schema="term string, ancestor string, depth int"
+                ).localCheckpoint(eager=True)
+    e = e_raw.distinct().persist()
     nodes = e.select(F.col("term").alias("n")).union(
         e.select(F.col("parent").alias("n"))
     )
@@ -157,6 +247,7 @@ def ancestor_closure(
         anti_target = anti_target.unionByName(new)
         frontier = new
     e.unpersist()
+    e_raw.unpersist()
     if stats is not None:
         stats["rounds"] = rounds  # == DAG height when it converged
     closure = layers[0]

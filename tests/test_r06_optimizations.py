@@ -148,3 +148,33 @@ def test_fallback_path_never_collects_block_keys(spark, tmp_path, monkeypatch):
     t, _ = generate_transcripts(spark, n_blocks=3, seed=7, hot_blocks=0)
     res = pipeline.run(spark, t, str(tmp_path / "ckpt"))
     assert res.assignments.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# taxonomy: driver-BFS fast path vs the distributed frontier-join loop
+# ---------------------------------------------------------------------------
+
+
+def test_closure_driver_path_matches_distributed(spark):
+    from namedis_spark.operators.taxonomy import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "m1"), ("a", "m2"), ("b", "m1"), ("c", "m2"),
+            ("m1", "top"), ("m2", "mid"), ("mid", "top"), ("top", "ROOT"),
+            ("lonely", None),
+        ],
+        "term string, parent string",
+    )
+    extra = spark.createDataFrame([("orphan",)], "term string")
+    s_fast: dict = {}
+    s_slow: dict = {}
+    fast = ancestor_closure(edges, extra_nodes=extra, stats=s_fast).collect()
+    slow = ancestor_closure(
+        edges, extra_nodes=extra, stats=s_slow, driver_edge_bound=0
+    ).collect()
+    assert s_fast.get("driver_path") is True
+    assert "driver_path" not in s_slow
+    key = lambda r: (r["term"], r["ancestor"], r["depth"])
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    assert s_fast["rounds"] == s_slow["rounds"]
