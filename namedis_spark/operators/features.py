@@ -136,6 +136,25 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
     )
 
 
+_IRR_DF_MEMO: dict[int, "DataFrame"] = {}
+
+
+def _irregulars_df(spark) -> DataFrame:
+    """Per-session memo of the irregular-lemma lookup table: the table is
+    a constant, and re-running createDataFrame per query call re-paid the
+    driver-side conversion on every term-exploding query."""
+    from namedis_spark.functions.text import IRREGULAR_LEMMAS
+
+    key = id(spark)
+    if key not in _IRR_DF_MEMO:
+        if len(_IRR_DF_MEMO) > 8:
+            _IRR_DF_MEMO.clear()
+        _IRR_DF_MEMO[key] = spark.createDataFrame(
+            sorted(IRREGULAR_LEMMAS.items()), "_tok string, _irr_lemma string"
+        )
+    return _IRR_DF_MEMO[key]
+
+
 def exploded_content_terms(
     df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("conv_id",)
 ) -> DataFrame:
@@ -152,9 +171,7 @@ def exploded_content_terms(
     from namedis_spark.functions.sqlexpr import tokens_expr
     from namedis_spark.functions.text import IRREGULAR_LEMMAS, STOPWORDS
 
-    irr = spark.createDataFrame(
-        sorted(IRREGULAR_LEMMAS.items()), "_tok string, _irr_lemma string"
-    )
+    irr = _irregulars_df(spark)
     # stopwords dropped AFTER the explode with a scalar NOT IN: that
     # compiles to a hashed InSet lookup per token, where the in-array
     # filter lambda re-scanned the ~100-literal stopword array per token
