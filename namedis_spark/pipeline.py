@@ -265,37 +265,28 @@ def run(
     tick("blocking_scoring")
 
     # -- clustering (per-round snapshots inside) --------------------------
-    edges = edges_above_threshold(scored, params)
     if seeds is not None:
-        # Groundtruth-seed pull (clust.pl:946-957: with seedClusterKeys,
-        # stage-1 clusters go through seedMergeSharingCoauthor before stage
-        # 2). Composition for a conv-pair engine: CC over the stage-1
-        # mergeable edges alone gives the stage-1 "ion" clusters; the
-        # per-block greedy seed merge decides which ions each seed absorbs;
-        # its verdict enters the final closure as mandatory hub edges, so
-        # seed-pulled conversations are guaranteed co-clustered whatever
-        # their stage-2 scores. seeds: (conv_id, seed_id). The merge table
+        # Groundtruth-seed pull (clust.pl:946-957): with seedClusterKeys
+        # the reference SKIPS stage-1 coauthor merging —
+        # seedMergeSharingCoauthor replaces it, fed with singleton per-pub
+        # clusters (clust.pl:919-922 → :956) — and seeds can only merge
+        # with each other through stage-2 similarity. Composition here
+        # mirrors that: singleton ions enter the per-block greedy seed
+        # merge; its verdict (seed pulls + the leftover
+        # mergeSharingCoauthor fixpoint) enters the final closure as
+        # mandatory hub edges, and the closure otherwise uses ONLY
+        # score≥threshold edges (stage1-only edges are dropped, so two
+        # DISTINCT human seed clusters sharing ≥2 coauthors are no longer
+        # silently re-merged). seeds: (conv_id, seed_id). The merge table
         # (with its `ambiguous` labeling-aid flags) is snapshotted for
-        # inspection. Zero cost and identical plan when seeds is None.
+        # inspection. Plan unchanged when seeds is None.
         # Resume contract as everywhere in this store: re-entry assumes the
         # SAME inputs — toggling `seeds` between a run and its resume is the
         # same class of misuse as swapping the transcript table.
-        from namedis_spark.operators.cluster import connected_components
         from namedis_spark.operators.seedmerge import seed_merge_sharing_coauthor
 
-        s1_cc = connected_components(
-            spark,
-            scored.where(F.col("stage1_mergeable")).select(
-                F.col("conv_id1").alias("src"), F.col("conv_id2").alias("dst")
-            ),
-        )
-        ion_assign = (
-            features.select(F.col("conv_id").alias("node"))
-            .join(s1_cc, "node", "left")
-            .select(
-                F.col("node").alias("conv_id"),
-                F.coalesce("cluster_id", "node").alias("cluster_id"),
-            )
+        ion_assign = features.select(
+            "conv_id", F.col("conv_id").alias("cluster_id")
         )
         seed_merged = seed_merge_sharing_coauthor(features, ion_assign, seeds)
         seed_merged = store.write_round(
@@ -313,7 +304,12 @@ def run(
                 F.col("hub").alias("conv_id2"),
             )
         )
-        edges = edges.unionByName(seed_edges)
+        stage2_edges = scored.where(
+            F.col("score") >= params.threshold
+        ).select("block_key", "conv_id1", "conv_id2")
+        edges = stage2_edges.unionByName(seed_edges)
+    else:
+        edges = edges_above_threshold(scored, params)
     assignments = assignments_from_edges(
         spark, features, edges, store=store, resume=resume
     )

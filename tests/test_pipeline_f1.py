@@ -95,3 +95,46 @@ def test_pipeline_with_seeds_coclusters_seed_members(spark, fixture_data, tmp_pa
     assert set(sm.columns) >= {"conv_id", "cluster_id", "is_seed", "ambiguous"}
     # seeds only help: F1 with seeds >= the seedless gate
     assert res.metrics["macro_f1"] >= 0.99
+
+
+def test_pipeline_seeded_distinct_seeds_stay_separate(spark, tmp_path_factory):
+    """Reference seeded composition (clust.pl:946-957): stage-1 coauthor
+    merging is REPLACED by seedMergeSharingCoauthor, so two DISTINCT human
+    seed clusters whose conversations pairwise share >=2 coauthors must NOT
+    be re-merged by a stage1-only edge; only stage-2 similarity could join
+    them, and here the >6-year gap zeroes the year discount."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from namedis_spark import pipeline
+
+    def turns(conv, year, texts):
+        ts = datetime.datetime(year, 6, 1)
+        rows = [(conv, 0, "Wei Wang", texts[0], None, ts)]
+        for i, co in enumerate(["Xia Chen", "Yan Li"]):
+            rows.append((conv, i + 1, co, texts[(i + 1) % len(texts)], None, ts))
+        return rows
+
+    rows = []
+    rows += turns("c1", 2000, ["alpha retrieval corpus", "alpha ranking"])
+    rows += turns("c2", 2000, ["alpha retrieval corpus", "alpha ranking"])
+    rows += turns("c3", 2020, ["zeta robotics actuator", "zeta gripper"])
+    rows += turns("c4", 2020, ["zeta robotics actuator", "zeta gripper"])
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    seeds = spark.createDataFrame(
+        [("c1", "S1"), ("c2", "S1"), ("c3", "S2"), ("c4", "S2")],
+        "conv_id string, seed_id string",
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_seed_sep"))
+    res = pipeline.run(spark, t, ckpt, seeds=seeds)
+    a = {r["conv_id"]: r["cluster_id"] for r in res.assignments.collect()}
+    # same-seed convs co-clustered ...
+    assert a["c1"] == a["c2"]
+    assert a["c3"] == a["c4"]
+    # ... but the two seeds stay separate despite sharing both coauthors
+    assert a["c1"] != a["c3"]
