@@ -112,7 +112,12 @@ def seed_merge_block(ions, seeds, conv_coauthors):
        lowest seed id, every conv of that ion flagged ambiguous
        (reference: interactive prompt, :4011-4039).
     3. Leftover ions run the plain union-fixpoint merge
-       (``mergeSharingCoauthor``, :4066).
+       (``mergeSharingCoauthor``, :4066). NOTE: the reference call site
+       as shipped passes arguments shifted against mergeSharingCoauthor's
+       ($origClusters, $title_Coauthors, $context) signature and would
+       die on $context->{focusName}; this step therefore implements the
+       INTENDED semantics of that (broken) call, not observable reference
+       behavior.
 
     Returns (assignment, n_merged) where assignment maps conv_id ->
     (cluster_label, is_seed, ambiguous); merged ions adopt their seed's
@@ -237,11 +242,15 @@ def cluster_names_by_coauthorship(
     the direct-collaborator relation = connected components of the
     coauthor-pair graph restricted to the list.
 
-    The reference's greedy absorb loop (scan clusters, merge any two with
-    a collaborating cross pair, rescan) yields exactly this partition —
-    absorption order only permutes cluster labels, never membership — so
-    the Spark form is the shared large-star/small-star CC over a
-    broadcast-restricted edge set: join-free double explode of each
+    Intentional fixpoint-completion deviation: the reference's greedy
+    absorb loop (NLPUtil.pm:3727-3752) does NOT rescan after an
+    absorption (no $i--/last, unlike mergeSharingCoauthor), so on some
+    edge orders it under-merges — e.g. clusters [a],[b],[c],[d] with
+    collab edges a-d, b-c, c-d end as {a,d},{b,c} there but form ONE
+    component here. This port deliberately computes the complete
+    connected-component partition (the fixpoint the greedy loop
+    approximates); the Spark form is the shared large-star/small-star CC
+    over a broadcast-restricted edge set: join-free double explode of each
     conversation's row-local author array (the same shape as
     ``coauthor_stats``), filtered to ``names`` before the distinct, one
     exchange total ahead of the CC rounds.

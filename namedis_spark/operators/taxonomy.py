@@ -47,7 +47,7 @@ is not guaranteed to be).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 ROOT = "CONCEPT_NET_ROOT"
 IC_OFFSET = 3.5  # setICOffset (clust.pl:277)
