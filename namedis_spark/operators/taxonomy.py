@@ -179,16 +179,22 @@ def ancestor_closure(
                 if stats is not None:
                     stats["rounds"] = height
                     stats["driver_path"] = True
-                import pandas as pd
+                import pyarrow as pa
 
                 spark = edges.sparkSession
-                pdf = pd.DataFrame(rows, columns=["term", "ancestor", "depth"])
-                pdf["depth"] = pdf["depth"].astype("int32")
-                # checkpoint: downstream plans reference the closure
-                # several times — without it every scan re-ships the
-                # parallelized driver rows to the executors
+                tbl = pa.table(
+                    {
+                        "term": pa.array([r[0] for r in rows], pa.string()),
+                        "ancestor": pa.array([r[1] for r in rows], pa.string()),
+                        "depth": pa.array([r[2] for r in rows], pa.int32()),
+                    }
+                )
+                # arrow table in (skips the pandas conversion); checkpoint:
+                # downstream plans reference the closure several times —
+                # without it every scan re-ships the parallelized driver
+                # rows to the executors
                 return spark.createDataFrame(
-                    pdf, schema="term string, ancestor string, depth int"
+                    tbl, schema="term string, ancestor string, depth int"
                 ).localCheckpoint(eager=True)
     e = e_raw.distinct().persist()
     nodes = e.select(F.col("term").alias("n")).union(
