@@ -41,6 +41,13 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# The Spark queries only ever read these three (everything else in the
+# driver's data dir is unreferenced by the registry); registering a view
+# reads the table's parquet footer on the driver, so the unused seven
+# cost ~2s of per-session metadata work for nothing. The DuckDB oracle
+# side (scripts/check_entry.py, the driver) registers its own full list.
+SPARK_TABLES = ["events", "documents", "embeddings"]
+
 
 def transcripts_sql(dialect: str) -> str:
     """Deterministic transcript derivation from `events` — identical
@@ -70,10 +77,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     multi-SF sessions (tests, the oracle gate) stay correct."""
     # tableExists guards against id() reuse after a session is GC'd
     if _VIEWS_REGISTERED.get(id(spark)) == sf_dir and spark.catalog.tableExists(
-        TABLES[0]
+        SPARK_TABLES[0]
     ):
         return
-    for t in TABLES:
+    for t in SPARK_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     _VIEWS_REGISTERED[id(spark)] = sf_dir
 
