@@ -631,7 +631,12 @@ def large_dag_edges(
     supers = spark.range(n_supers).select(
         F.concat(F.lit("S"), F.col("id")).alias("term"), F.lit(ROOT).alias("parent")
     )
-    edges = (
+    # no trailing distinct: the rare lvl/extra collisions (scrambled
+    # second parent landing on the primary) are legal duplicate edge rows
+    # that every consumer already dedups (ancestor_closure's BFS/loop,
+    # DuckDB's recursive UNION) — dropping it removes a full shuffle from
+    # the generator that feeds the closure benchmarks
+    return (
         lvl(n_terms, "t", n_mids, "m")
         .unionByName(extra(n_terms, "t", n_mids, "m"))
         .unionByName(lvl(n_mids, "m", n_subcats, "s"))
@@ -640,7 +645,6 @@ def large_dag_edges(
         .unionByName(lvl(n_cats, "c", n_supers, "S"))
         .unionByName(supers)
     )
-    return edges.distinct()
 
 
 def large_dag_term_freqs(
