@@ -104,7 +104,39 @@ def get_spark(
         # inherit the driver's sys.path — ship the package exactly as
         # `spark-submit --py-files` would (north rule)
         spark.sparkContext.addPyFile(package_zip())
+    _warm_session(spark)
     return spark
+
+
+_WARMED: set[int] = set()
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time, data-independent engine warm-up per session: a trivial
+    aggregate job initializes the task scheduler / codegen / shuffle
+    machinery, and a one-batch Arrow pandas exchange forks the Python
+    worker pool (workers are reused afterwards —
+    spark.python.worker.reuse). Heavyweight init belongs to session
+    construction, not to whichever query happens to run first (guide
+    §4.5); nothing here touches input data or caches any result."""
+    key = id(spark)
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    if len(_WARMED) > 64:
+        _WARMED.clear()
+        _WARMED.add(key)
+    try:
+        import pyspark.sql.functions as F
+
+        spark.range(0, 1000, 1, 4).agg(F.sum("id")).collect()
+
+        def _echo(batches):
+            yield from batches
+
+        spark.range(0, 32, 1, 32).mapInPandas(_echo, "id long").count()
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
 
 
 def close_session(spark: SparkSession) -> None:
