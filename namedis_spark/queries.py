@@ -1610,19 +1610,32 @@ _DUCK_CSLR_V1 = (
 )
 
 
+# Blocks up to this many conversations are pair-enumerated inside ONE
+# per-block Python task (each vector crosses the Arrow boundary once —
+# worst case cap²/2 ≈ 0.5M pairs ≈ a few seconds of in-worker scoring);
+# bigger blocks route through the distributed self-join + mapInPandas
+# shape so a hot block parallelizes across the cluster instead of
+# pinning one task with an O(block²) loop. Values identical either way.
+CSLR_BLOCK_ENUM_CAP = 1024
+
+
 def _cslr_scored_pairs(spark, sf_dir, log_fn, out_col: str = "log_cslr"):
-    """Within-block CSLR pair scores via per-block pair enumeration.
+    """Within-block CSLR pair scores, size-routed.
 
     One transcript scan builds the per-conv (role-frequency map, block
-    key) side table; pairs are enumerated INSIDE a per-block
-    ``applyInPandas`` so each conversation's vector crosses the Python
-    boundary once, not once per pair (guide §8 — the previous self-join
-    shipped two map payloads per pair row: ~450k map cells through Arrow
-    at sf0.1 for 225k pairs built from 1.5k vectors). Pair order
-    (conv_id1 < conv_id2) and the per-pair ``log_fn`` values are
-    unchanged. O(block²) by design — these are the verification-only
-    enumeration queries (module docstring); the production pipeline
-    scores through the capped/salted candidate paths."""
+    key) side table. Blocks ≤ CSLR_BLOCK_ENUM_CAP enumerate and score
+    their pairs inside a per-block ``applyInPandas`` — each vector
+    crosses the Python boundary once, not once per pair (guide §8: the
+    all-join shape shipped two map payloads per pair row, ~450k map
+    cells through Arrow at sf0.1 for 225k pairs built from 1.5k
+    vectors). Blocks above the cap keep the distributed self-join +
+    mapInPandas shape (parallel across tasks — a single hot block must
+    not serialize into one worker). Pair set, pair order
+    (conv_id1 < conv_id2) and per-pair ``log_fn`` values are identical
+    on both routes. Still O(block²) by design — these are the
+    verification-only enumeration queries (module docstring); the
+    production pipeline scores through the capped/salted candidate
+    paths."""
     import pandas as pd
 
     t = load_transcripts(spark, sf_dir)
@@ -1633,8 +1646,13 @@ def _cslr_scored_pairs(spark, sf_dir, log_fn, out_col: str = "log_cslr"):
         F.map_from_entries(F.collect_list(F.struct("role", "f"))).alias("vec"),
         F.min_by("role", "ti").alias("block_key"),
     )
+    sizes = side.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bn"))
+    side = side.join(sizes, "block_key")
 
     cols = ["block_key", "conv_id1", "conv_id2", out_col]
+    schema = (
+        f"block_key string, conv_id1 string, conv_id2 string, {out_col} double"
+    )
 
     def score_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         bk = key[0]
@@ -1648,10 +1666,41 @@ def _cslr_scored_pairs(spark, sf_dir, log_fn, out_col: str = "log_cslr"):
                 rows.append((bk, ci, ids[j], round(log_fn(vi, vecs[j]), 6)))
         return pd.DataFrame(rows, columns=cols)
 
-    return side.groupBy("block_key").applyInPandas(
-        score_block,
-        f"block_key string, conv_id1 string, conv_id2 string, {out_col} double",
+    small_out = (
+        side.where(F.col("_bn") <= CSLR_BLOCK_ENUM_CAP)
+        .drop("_bn")
+        .groupBy("block_key")
+        .applyInPandas(score_block, schema)
     )
+
+    big = side.where(F.col("_bn") > CSLR_BLOCK_ENUM_CAP).drop("_bn")
+    a = big.select(
+        "block_key", F.col("conv_id").alias("conv_id1"), F.col("vec").alias("v1")
+    )
+    b = big.select(
+        "block_key", F.col("conv_id").alias("conv_id2"), F.col("vec").alias("v2")
+    )
+    pairs = a.join(b, "block_key").where(F.col("conv_id1") < F.col("conv_id2"))
+
+    def score_pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [
+                round(log_fn(dict(v1), dict(v2)), 6)
+                for v1, v2 in zip(pdf["v1"], pdf["v2"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "block_key": pdf["block_key"],
+                    "conv_id1": pdf["conv_id1"],
+                    "conv_id2": pdf["conv_id2"],
+                    out_col: vals,
+                }
+            )
+
+    big_out = pairs.mapInPandas(score_pairs, schema=schema)
+    return small_out.unionByName(big_out)
 
 
 @q("cslr_v1_pairs", _DUCK_CSLR_V1)

@@ -178,3 +178,27 @@ def test_closure_driver_path_matches_distributed(spark):
     key = lambda r: (r["term"], r["ancestor"], r["depth"])
     assert sorted(map(key, fast)) == sorted(map(key, slow))
     assert s_fast["rounds"] == s_slow["rounds"]
+
+
+# ---------------------------------------------------------------------------
+# cslr pair scoring: per-block enumeration vs distributed-join route
+# ---------------------------------------------------------------------------
+
+
+def test_cslr_block_routes_agree(spark, monkeypatch):
+    """The size-routed pair scorer must produce the identical pair table
+    whichever side of CSLR_BLOCK_ENUM_CAP a block lands on."""
+    import namedis_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    from namedis_spark.functions.core import cslr_v2_log
+
+    small = _sorted(Q._cslr_scored_pairs(spark, sf, cslr_v2_log).collect())
+    monkeypatch.setattr(Q, "CSLR_BLOCK_ENUM_CAP", 0)  # force the join route
+    big = _sorted(Q._cslr_scored_pairs(spark, sf, cslr_v2_log).collect())
+    assert small == big
+    assert len(small) > 0
+
+
+def _sorted(rows):
+    return sorted(tuple(r) for r in rows)
